@@ -1,0 +1,34 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+Real-TPU execution is exercised by bench.py / __graft_entry__.py; tests are
+deterministic CPU runs so the sharding path is validated without hardware
+(SURVEY.md §4.7: the reference has no multi-node test story — we add one).
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+CAPTURE = "/root/reference/kernel/test-data/fsample-6.dmp"
+
+
+@pytest.fixture(scope="session")
+def capture_20msps() -> np.ndarray:
+    """The golden 6 Mbps capture, DC-removed, decimated to 20 Msps."""
+    from sora_tpu.io.dumpfile import load_dump
+
+    x = load_dump(CAPTURE).astype(np.complex128)
+    x -= x.mean()
+    return x[0::2]
+
+
+@pytest.fixture(scope="session")
+def rng() -> np.random.Generator:
+    return np.random.default_rng(0x50BA)
