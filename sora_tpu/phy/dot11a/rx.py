@@ -1,0 +1,294 @@
+"""802.11a OFDM receiver — JAX, batched, jit-compiled.
+
+TPU-first redesign of the reference RX brick graph
+(kernel/bb/demod11/fb11ademod_config.hpp:148-218, diagram at :132-141):
+
+* TCCA11a's per-sample carrier-sense state machine (cca.hpp:106-441)
+  becomes *vectorized detection*: correlation scores for every offset at
+  once, then argmax — no sequential scan over samples.
+* The chain TFreqCompensation -> TFFT64 -> TChannelEqualization ->
+  TPhaseCompensate/TPilotTrack (channel_11a.hpp, pilot.hpp) is one fused
+  batched tensor program over all OFDM symbols of the frame at once: the
+  FFT is a DFT matmul on the MXU, everything else is VPU elementwise.
+* The rate demux TBB11aRxRateSel (PHY_11a.hpp:704-814) becomes per-rate
+  jitted decode functions; the SIGNAL decode is shape-static so one small
+  jit serves all frames.
+* T11aViterbi's dedicated-core sliding decoder (viterbicore.h) becomes the
+  batched/block-parallel decoder in sora_tpu.dsp.viterbi.
+
+All entry points take a leading batch axis: the unit of work is a batch of
+frame-bearing sample streams, which is what fills the TPU.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sora_tpu.dsp import crc as dcrc
+from sora_tpu.dsp import fft as dfft
+from sora_tpu.dsp import filters as df
+from sora_tpu.dsp import mapping as dmap
+from sora_tpu.dsp import scramble as dscr
+from sora_tpu.dsp import viterbi as dvit
+from sora_tpu.phy import common as C
+
+_LTS_SYM = np.asarray(C.LTS_TIME_SYM, dtype=np.complex64)
+_LTS_SIGN = np.zeros(64, dtype=np.float32)
+_LTS_SIGN[C.OCC_BINS] = C.LTS_FREQ
+_OCC_MASK = (_LTS_SIGN != 0)
+
+MAX_PSDU = 1600           # bytes; reference MTU is 2500 (PHY_11a.hpp:571)
+
+
+def max_symbols(rate: C.RateParam, max_psdu: int = MAX_PSDU) -> int:
+    return -(-(16 + 8 * max_psdu + 6) // rate.ndbps)
+
+
+# =============================================================================
+# Synchronization (vectorized TCCA11a + T11aLTS front half)
+# =============================================================================
+
+
+@jax.jit
+def synchronize(x: jnp.ndarray):
+    """Packet detect + timing + coarse CFO for a batch of streams.
+
+    x: (B, N) complex64.  Returns (lts1, coarse_cfo, detect_metric):
+    lts1 (B,) int32 start of the first LTS repeat, coarse_cfo (B,) float32
+    rad/sample, detect_metric (B,) float32 in [0, 1] (STS autocorrelation
+    plateau quality — the CCA decision statistic).
+    """
+    B, N = x.shape
+    ac = x[:, 16:] * jnp.conj(x[:, :-16])
+    w = df.moving_sum(ac, 64)
+    en = df.moving_sum(jnp.abs(x[:, :-16]) ** 2, 64).astype(jnp.float32)
+    m = jnp.abs(w) / (en + 1e-9)
+    # restrict the STS search so a full preamble+SIGNAL still fits
+    valid = m[:, : max(1, N - 480)]
+    sts = jnp.argmax(valid, axis=-1)
+    det = jnp.take_along_axis(valid, sts[:, None], axis=1)[:, 0]
+    wsel = jnp.take_along_axis(w, sts[:, None], axis=1)[:, 0]
+    cfo = jnp.angle(wsel).astype(jnp.float32) / 16.0
+    # de-rotate and LTS cross-correlate
+    ramp = jnp.exp(-1j * cfo[:, None] * jnp.arange(N, dtype=jnp.float32))
+    y = x * ramp
+    c = jnp.abs(df.correlate_stream(y, _LTS_SYM))
+    c2 = c[:, :-64] + c[:, 64:]
+    # only accept LTS at/after the detected STS
+    pos = jnp.arange(c2.shape[-1])[None, :]
+    c2 = jnp.where(pos >= sts[:, None], c2, 0.0)
+    lts1 = jnp.argmax(c2, axis=-1).astype(jnp.int32)
+    return lts1, cfo, det
+
+
+# =============================================================================
+# Symbol extraction + equalization (LTS chanest, CFO comp, FFT, pilots)
+# =============================================================================
+
+
+@partial(jax.jit, static_argnames=("nsym",))
+def extract_symbols(x: jnp.ndarray, lts1: jnp.ndarray, cfo: jnp.ndarray,
+                    nsym: int):
+    """Equalized data carriers for SIGNAL + nsym data symbols.
+
+    x: (B, N); lts1/cfo from :func:`synchronize`.  Returns
+    (eq (B, nsym+1, 48) complex64, snr_db (B,) float32).
+    Index 0 of axis 1 is the SIGNAL symbol.
+    """
+    B, N = x.shape
+    need = 128 + 80 * (nsym + 1)
+    xp = jnp.pad(x, ((0, 0), (0, need)))
+
+    def cut(row, start):
+        return jax.lax.dynamic_slice(row, (start,), (need,))
+
+    y = jax.vmap(cut)(xp, lts1)                       # (B, need)
+    # coarse CFO first (the lag-64 fine estimate is only unambiguous to
+    # ±156 kHz at 20 Msps; the lag-16 coarse one covers ±625 kHz), then
+    # fine CFO from the LTS repeats of the coarse-corrected signal.
+    n_idx = jnp.arange(need, dtype=jnp.float32)
+    y = y * jnp.exp(-1j * cfo[:, None] * n_idx)
+    fine = jnp.angle(jnp.sum(jnp.conj(y[:, :64]) * y[:, 64:128],
+                             axis=-1)).astype(jnp.float32) / 64.0
+    y = y * jnp.exp(-1j * fine[:, None] * n_idx)
+    # channel estimate from the two LTS repeats
+    L = 0.5 * (dfft.fft64(y[:, :64]) + dfft.fft64(y[:, 64:128]))
+    H = L * jnp.asarray(_LTS_SIGN)                    # sign * |.| == /(±1)
+    nvar = jnp.mean(jnp.abs(y[:, :64] - y[:, 64:128]) ** 2, axis=-1) / 2
+    sig_p = jnp.mean(jnp.abs(H) ** 2, axis=-1) * (64.0 / 52.0)
+    snr_db = 10.0 * jnp.log10(sig_p / (nvar + 1e-12) + 1e-12)
+    # symbols: skip 16-sample CP each
+    sym = y[:, 128:].reshape(B, nsym + 1, 80)[:, :, 16:]
+    S = dfft.fft64(sym)                               # (B, nsym+1, 64)
+    Hc = jnp.conj(H)[:, None, :]
+    E = S * Hc / (jnp.abs(H[:, None, :]) ** 2 + 1e-12)
+    # pilot-driven common phase correction per symbol
+    pol = jnp.asarray(C.PILOT_POLARITY, dtype=jnp.float32)[
+        jnp.arange(nsym + 1) % 127]
+    pv = E[:, :, jnp.asarray(C.PILOT_BINS)] * \
+        (jnp.asarray(C.PILOT_VAL, dtype=jnp.float32)[None, None, :]
+         * pol[None, :, None])
+    ph = jnp.angle(jnp.sum(pv, axis=-1))
+    E = E * jnp.exp(-1j * ph)[:, :, None]
+    eq = E[:, :, jnp.asarray(C.DATA_BINS)]
+    # gain-normalize so demap soft scaling holds for any TX amplitude
+    gain = jnp.mean(jnp.abs(eq[:, 0, :]), axis=-1) + 1e-12
+    return eq / gain[:, None, None], snr_db
+
+
+# =============================================================================
+# SIGNAL decode
+# =============================================================================
+
+_SIG_PERM = jnp.asarray(C.interleaver_permutation(48, 1))
+
+
+@jax.jit
+def decode_signal(eq_sig: jnp.ndarray):
+    """(B, 48) equalized SIGNAL carriers -> (rate_bits, length, ok)."""
+    soft = dmap.demap_soft(eq_sig, "bpsk")            # (B, 48)
+    de = soft[:, _SIG_PERM]
+    bits = dvit.decode(de.reshape(-1, 24, 2), terminated=True)
+    b = bits.astype(jnp.int32)
+    rate_bits = (b[:, 0] << 3) | (b[:, 1] << 2) | (b[:, 2] << 1) | b[:, 3]
+    parity = jnp.sum(b[:, :17], axis=-1) & 1
+    parity_ok = parity == b[:, 17]
+    length = jnp.sum(b[:, 5:17] << jnp.arange(12)[None, :], axis=-1)
+    tail_ok = jnp.sum(b[:, 18:24], axis=-1) == 0
+    known = jnp.isin(rate_bits, jnp.asarray(
+        [r.rate_bits for r in C.RATES.values()]))
+    ok = parity_ok & tail_ok & known & (length > 0)
+    return rate_bits, length, ok
+
+
+# =============================================================================
+# DATA decode (per-rate, shape-static)
+# =============================================================================
+
+
+def _depuncture_indices(rate: C.RateParam, t_steps: int) -> np.ndarray:
+    """Static scatter indices: position of each received soft value in the
+    (T, 2) A/B stream."""
+    pa, pb = C.PUNCTURE[(rate.num, rate.den)]
+    keep = np.stack([pa, pb], -1).reshape(-1)
+    period = len(keep)
+    reps = -(-2 * t_steps // period)
+    keepf = np.tile(keep, reps)[: 2 * t_steps]
+    return np.flatnonzero(keepf)
+
+
+@partial(jax.jit, static_argnames=("rate_mbps",))
+def decode_data(eq: jnp.ndarray, length: jnp.ndarray, rate_mbps: int):
+    """Decode data symbols for one rate.
+
+    eq: (B, nsym_max, 48) equalized data carriers (SIGNAL already removed);
+    length: (B,) PSDU byte counts from SIGNAL.  Returns
+    (psdu (B, MAX_PSDU) uint8, fcs_ok (B,) bool, nbits_used (B,)).
+    """
+    rate = C.RATES[rate_mbps]
+    B, nsym_max, _ = eq.shape
+    perm = jnp.asarray(C.interleaver_permutation(rate.ncbps, rate.nbpsc))
+
+    soft = dmap.demap_soft(eq, rate.modulation)       # (B, nsym, ncbps)
+    de = soft[:, :, perm]
+    # mask symbols beyond each frame's actual extent -> erasures
+    nbits = 16 + 8 * length + 6
+    nsym_actual = -(-nbits // rate.ndbps)
+    symi = jnp.arange(nsym_max)[None, :]
+    de = jnp.where(symi[:, :, None] < nsym_actual[:, None, None], de, 0.0)
+    flat = de.reshape(B, -1)
+    t_steps = nsym_max * rate.ndbps
+    ab = jnp.zeros((B, 2 * t_steps), dtype=jnp.float32)
+    ab = ab.at[:, jnp.asarray(_depuncture_indices(rate, t_steps))].set(flat)
+    bits = dvit.decode_blocks(ab.reshape(B, t_steps, 2),
+                              block=512, overlap=96, terminated=False)
+    # descramble: seed phase from the first 7 bits
+    match = jnp.all(
+        dscr._PHASES_J[None, :, :7] == bits[:, None, :7], axis=-1)
+    phase = jnp.argmax(match, axis=-1)
+    seq = dscr._PHASES_J[phase]                       # (B, 127)
+    reps = -(-t_steps // 127)
+    seq = jnp.tile(seq, (1, reps))[:, :t_steps]
+    desc = bits ^ seq
+    # PSDU bytes, LSB-first
+    nbytes_max = (t_steps - 22) // 8
+    payload = desc[:, 16: 16 + 8 * nbytes_max].reshape(B, nbytes_max, 8)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], dtype=jnp.uint8)
+    psdu = jnp.sum(payload * weights[None, None, :], axis=-1,
+                   dtype=jnp.uint32).astype(jnp.uint8)
+    psdu = jnp.pad(psdu, ((0, 0), (0, max(0, MAX_PSDU - nbytes_max))))
+    psdu = psdu[:, :MAX_PSDU]
+    # FCS check on device
+    body_crc = dcrc.crc32_batch(psdu, length - 4)
+    idx = jnp.clip(length[:, None] - 4 + jnp.arange(4)[None, :], 0,
+                   MAX_PSDU - 1)
+    fcs_bytes = jnp.take_along_axis(psdu, idx, axis=1).astype(jnp.uint32)
+    rx_fcs = (fcs_bytes[:, 0] | (fcs_bytes[:, 1] << 8)
+              | (fcs_bytes[:, 2] << 16) | (fcs_bytes[:, 3] << 24))
+    fcs_ok = (body_crc == rx_fcs) & (length >= 4) & \
+        (length <= jnp.uint32(MAX_PSDU))
+    return psdu, fcs_ok, nbits
+
+
+# =============================================================================
+# Host-facing API
+# =============================================================================
+
+
+@dataclass
+class RxResult:
+    ok: bool = False
+    reason: str = "no_frame"
+    rate_mbps: int = 0
+    length: int = 0
+    psdu: bytes = b""
+    fcs_ok: bool = False
+    start: int = -1
+    cfo: float = 0.0
+    snr_est_db: float = 0.0
+    _debug: dict = field(default_factory=dict)
+
+
+def demodulate(x, expect_rate: int | None = None) -> RxResult:
+    """Single-stream convenience wrapper (API-compatible with the golden
+    model).  Hot paths should use the batched stages directly."""
+    xb = jnp.asarray(np.asarray(x, dtype=np.complex64))[None, :]
+    res = RxResult()
+    lts1, cfo, det = synchronize(xb)
+    res.start = int(lts1[0])
+    res.cfo = float(cfo[0])
+    # SIGNAL first (cheap, fixed shape)
+    eq1, snr = extract_symbols(xb, lts1, cfo, 0)
+    res.snr_est_db = float(snr[0])
+    rate_bits, length, sig_ok = decode_signal(eq1[:, 0, :])
+    if not bool(sig_ok[0]):
+        res.reason = "plcp_header_fail"
+        return res
+    rb = int(rate_bits[0])
+    rate = C.RATE_BY_BITS[rb]
+    res.rate_mbps = rate.mbps
+    res.length = int(length[0])
+    if expect_rate is not None and rate.mbps != expect_rate:
+        res.reason = "unexpected_rate"
+        return res
+    if res.length > MAX_PSDU:
+        res.reason = "oversize"
+        return res
+    nsym = max_symbols(rate)
+    nsym_actual = -(-(16 + 8 * res.length + 6) // rate.ndbps)
+    if len(x) < res.start + 128 + 80 * (nsym_actual + 1):
+        res.reason = "truncated"
+        return res
+    eq, _ = extract_symbols(xb, lts1, cfo, nsym)
+    psdu, fcs_ok, _ = decode_data(eq[:, 1:, :], length.astype(jnp.int32),
+                                  rate.mbps)
+    res.psdu = bytes(np.asarray(psdu[0])[: res.length])
+    res.fcs_ok = bool(fcs_ok[0])
+    res.ok = res.fcs_ok
+    res.reason = "frame_ok" if res.ok else "crc32_fail"
+    return res

@@ -7,11 +7,18 @@ deterministic CPU runs so the sharding path is validated without hardware
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"   # tests always run on the CPU backend
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The container's sitecustomize registers the axon TPU backend and pins
+# jax_platforms=axon at import time; env alone doesn't win — override the
+# live config before any backend initializes.
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

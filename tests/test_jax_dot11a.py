@@ -1,0 +1,84 @@
+"""JAX 802.11a chain tests: capture decode, loopback vs golden model."""
+
+import numpy as np
+import pytest
+
+from sora_tpu.golden import dot11a_np as g
+from sora_tpu.mac import frame as fr
+from sora_tpu.phy.dot11a import rx as jrx
+from sora_tpu.phy.dot11a import tx as jtx
+
+
+def test_jax_rx_decodes_capture(capture_20msps):
+    res = jrx.demodulate(capture_20msps.astype(np.complex64))
+    assert res.ok, res.reason
+    assert res.rate_mbps == 6
+    assert res.length == 1392
+    # byte-identical to the golden model's decode
+    gold = g.demodulate(capture_20msps)
+    assert res.psdu == gold.psdu
+
+
+@pytest.mark.parametrize("rate", [6, 12, 24, 54])
+def test_jax_tx_matches_golden(rate, rng):
+    psdu = fr.build_data_frame(bytes(rng.integers(0, 256, 60,
+                                                  dtype=np.uint8)), seq=2)
+    arr = np.frombuffer(psdu, np.uint8)[None, :]
+    wave_j = np.asarray(jtx.modulate(arr, rate, len(psdu)))[0]
+    wave_g = g.modulate(psdu, rate)
+    assert wave_j.shape[0] == len(wave_g)
+    np.testing.assert_allclose(wave_j, wave_g, atol=2e-3)
+
+
+@pytest.mark.parametrize("rate", [6, 9, 12, 18, 24, 36, 48, 54])
+def test_jax_loopback(rate, rng):
+    psdu = fr.build_data_frame(bytes(rng.integers(0, 256, 120,
+                                                  dtype=np.uint8)), seq=5)
+    arr = np.frombuffer(psdu, np.uint8)[None, :]
+    wave = np.asarray(jtx.modulate(arr, rate, len(psdu)))[0]
+    x = np.concatenate([np.zeros(50), wave, np.zeros(80)]).astype(
+        np.complex64)
+    cfo = 2 * np.pi * 113e3 / 20e6
+    x = x * np.exp(1j * cfo * np.arange(len(x)) + 0.3j)
+    x = x + (rng.normal(size=len(x))
+             + 1j * rng.normal(size=len(x))).astype(np.complex64) * 0.03
+    res = jrx.demodulate(x, expect_rate=rate)
+    assert res.ok, (rate, res.reason)
+    assert res.psdu == psdu
+
+
+def test_jax_rx_rejects_noise(rng):
+    noise = (rng.normal(size=6000)
+             + 1j * rng.normal(size=6000)).astype(np.complex64)
+    res = jrx.demodulate(noise)
+    assert not res.ok
+
+
+def test_jax_batched_pipeline(rng):
+    """The throughput path: B streams decoded in one batched pass."""
+    B, rate = 4, 24
+    psdus = [fr.build_data_frame(bytes(rng.integers(0, 256, 90,
+                                                    dtype=np.uint8)), seq=i)
+             for i in range(B)]
+    arr = np.stack([np.frombuffer(p, np.uint8) for p in psdus])
+    waves = np.asarray(jtx.modulate(arr, rate, arr.shape[1]))
+    N = waves.shape[1] + 120
+    x = np.zeros((B, N), np.complex64)
+    for i in range(B):
+        off = 11 * i
+        x[i, off: off + waves.shape[1]] = waves[i]
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)
+          ).astype(np.complex64) * 0.02
+    import jax.numpy as jnp
+    lts1, cfo, det = jrx.synchronize(jnp.asarray(x))
+    nsym = jrx.max_symbols(jrx.C.RATES[rate])
+    eq, snr = jrx.extract_symbols(jnp.asarray(x), lts1, cfo, nsym)
+    rate_bits, length, ok = jrx.decode_signal(eq[:, 0, :])
+    assert bool(ok.all())
+    assert np.all(np.asarray(length) == arr.shape[1])
+    psdu, fcs_ok, _ = jrx.decode_data(eq[:, 1:, :],
+                                      length.astype(jnp.int32), rate)
+    assert bool(fcs_ok.all())
+    got = np.asarray(psdu)
+    for i in range(B):
+        assert bytes(got[i][: arr.shape[1]]) == psdus[i]
