@@ -1,0 +1,25 @@
+import time, sys, numpy as np
+import jax, jax.numpy as jnp
+sys.path.insert(0,'/root/repo')
+from sora_tpu.dsp.viterbi import _acs_step
+B,T=8,512
+soft = jnp.asarray(np.random.default_rng(0).normal(size=(T,B,2)).astype(np.float32))
+def full_noargmin(soft):
+    pm0 = jnp.full((B, 64), 1e9, dtype=jnp.float32).at[:, 0].set(0.0)
+    def fwd(pm, st):
+        return _acs_step(pm, st)
+    pmf, decs = jax.lax.scan(fwd, pm0, soft)
+    s_end = jnp.zeros((B,), jnp.int32)
+    def bwd(state, dec_t):
+        bit = (state>>5).astype(jnp.uint8)
+        d = jnp.take_along_axis(dec_t, state[:,None], axis=1)[:,0]
+        return 2*(state&31)+d.astype(jnp.int32), bit
+    _, bits = jax.lax.scan(bwd, s_end, decs, reverse=True)
+    return bits
+f = jax.jit(full_noargmin)
+t0=time.perf_counter(); o=jax.block_until_ready(f(soft))
+print(f"no-argmin: compile {time.perf_counter()-t0:.1f}s", flush=True)
+pm = jnp.asarray(np.random.default_rng(1).normal(size=(B,64)).astype(np.float32))
+g = jax.jit(lambda p: jnp.argmin(p, axis=-1))
+t0=time.perf_counter(); jax.block_until_ready(g(pm))
+print(f"argmin(8,64) alone: compile {time.perf_counter()-t0:.1f}s", flush=True)

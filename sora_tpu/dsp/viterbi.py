@@ -32,32 +32,45 @@ import numpy as np
 
 from sora_tpu.phy import common as C
 
-# (32, 2, 2) -> +1 where the emitted coded bit is 1, else -1
-_SIGN_A = jnp.asarray(2.0 * np.float32(1) * C.BFLY_OUT_A - 1.0,
-                      dtype=jnp.float32)
-_SIGN_B = jnp.asarray(2.0 * np.float32(1) * C.BFLY_OUT_B - 1.0,
-                      dtype=jnp.float32)
+# (32, 2, 2) [u, pred j, input b] -> +1 where the emitted bit is 1, else -1
+_SGN_A = (2.0 * C.BFLY_OUT_A - 1.0).astype(np.float32)
+_SGN_B = (2.0 * C.BFLY_OUT_B - 1.0).astype(np.float32)
+# per-(j, b) sign rows, shape (1, 32) each, kept as numpy: they fold into
+# the compiled program as constants
+_SGN = {(j, b): (jnp.asarray(_SGN_A[None, :, j, b]),
+                 jnp.asarray(_SGN_B[None, :, j, b]))
+        for j in (0, 1) for b in (0, 1)}
 
 
 def _acs_step(pm: jnp.ndarray, soft_t: jnp.ndarray):
     """One add-compare-select step.
 
     pm: (B, 64) path metrics; soft_t: (B, 2) A/B soft values
-    (positive => coded bit 1).  Returns (pm_next, decisions (B, 64) int8).
+    (positive => coded bit 1).  Returns (pm_next, decisions (B, 64) bool,
+    True = the odd predecessor won).
+
+    Layout note: everything stays (B, 32/64) — lanes hold states, strided
+    slices split even/odd predecessors.  The obvious (B, 32, 2, 2)
+    formulation with argmin over a size-2 axis takes Mosaic ~300 s to
+    compile on TPU; this form compiles in ~2 s and runs identically.
     """
-    sa = soft_t[:, 0][:, None, None, None]
-    sb = soft_t[:, 1][:, None, None, None]
-    # cost of the transition [u, pred j, input b]
-    cost = -(_SIGN_A[None] * sa + _SIGN_B[None] * sb)     # (B, 32, 2, 2)
-    pairs = pm.reshape(-1, 32, 2)                         # [B, u, j]
-    cand = pairs[:, :, :, None] + cost                    # (B, 32, j, b)
-    dec = jnp.argmin(cand, axis=2).astype(jnp.int8)       # (B, 32, b)
-    best = jnp.min(cand, axis=2)                          # (B, 32, b)
-    # next state s = u + 32*b -> flatten (b, u)
-    pm_next = jnp.transpose(best, (0, 2, 1)).reshape(-1, 64)
-    pm_next = pm_next - pm_next[:, :1]                    # cheap renorm
-    dec_next = jnp.transpose(dec, (0, 2, 1)).reshape(-1, 64)
-    return pm_next, dec_next
+    sa = soft_t[:, :1]
+    sb = soft_t[:, 1:]
+    pmA = pm[:, 0::2]                                   # pred 2u
+    pmB = pm[:, 1::2]                                   # pred 2u+1
+    outs = []
+    decs = []
+    for b in (0, 1):
+        a0, b0 = _SGN[(0, b)]
+        a1, b1 = _SGN[(1, b)]
+        candA = pmA - (a0 * sa + b0 * sb)
+        candB = pmB - (a1 * sa + b1 * sb)
+        outs.append(jnp.minimum(candA, candB))
+        decs.append(candA > candB)
+    pm_next = jnp.concatenate(outs, axis=1)             # states u+32b
+    pm_next = pm_next - pm_next[:, :1]                  # cheap renorm
+    dec = jnp.concatenate(decs, axis=1)
+    return pm_next, dec
 
 
 @partial(jax.jit, static_argnames=("terminated",))

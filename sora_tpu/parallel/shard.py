@@ -1,0 +1,146 @@
+"""Multi-device sharding of the PHY pipelines.
+
+Reference parallelism is threads-on-cores inside one host (SURVEY §2.9):
+TThreadSeparator pipeline splits, SIMD lanes, dual-radio streams.  The TPU
+redesign scales over a `jax.sharding.Mesh` with two named axes:
+
+* ``dp`` — frame/stream parallelism: independent RX streams (the analogue
+  of Sora's multiple radios / VStream readers) split across devices.
+* ``sp`` — time-block (sequence) parallelism *within* a stream: packet
+  search is sample-parallel, so each device scans a contiguous time block
+  and exchanges a halo of boundary samples with its right neighbor via
+  ``ppermute`` (the overlap-save scheme of SURVEY §5 long-context notes).
+
+Detection runs on the (dp, sp) mesh; frame decode is then resharded to
+pure batch parallelism over all devices (XLA inserts the all-to-all), the
+same front-end/decoder split the reference realizes with its Viterbi
+thread separator (fb11ademod_config.hpp:159) — here the boundary is a
+resharding, not a spin-lock ring.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sora_tpu.dsp import filters as df
+from sora_tpu.phy import common as C
+from sora_tpu.phy.dot11a import rx as arx
+
+# halo: lag-16 autocorr + 64-wide window + 128-long LTS correlation
+_HALO = 256
+
+
+def make_mesh(n_devices: int | None = None, dp: int | None = None) -> Mesh:
+    devs = jax.devices()[:n_devices] if n_devices else jax.devices()
+    n = len(devs)
+    if dp is None:
+        dp = 2 if n % 2 == 0 and n > 1 else 1
+    sp = n // dp
+    return Mesh(np.array(devs).reshape(dp, sp), ("dp", "sp"))
+
+
+def synchronize_sharded(x: jnp.ndarray, mesh: Mesh):
+    """Time-block-sharded packet detection with halo exchange.
+
+    x: (B, N) with B sharded over ``dp`` and N sharded over ``sp``.
+    Each device computes detection metrics for window starts inside its
+    block, pulling _HALO samples from its right neighbor so windows that
+    straddle the boundary are scored exactly once.  Global argmax is a
+    tiny all-gather of per-block candidates.
+
+    Returns (lts1, cfo) replicated over ``sp``.
+    """
+    nsp = mesh.shape["sp"]
+
+    def local(xl):
+        # xl: (B_local, N_local) — this device's time block
+        sp_i = jax.lax.axis_index("sp")
+        nloc = xl.shape[1]
+        # halo exchange: receive the head of the right neighbor's block
+        perm = [(i, (i - 1) % nsp) for i in range(nsp)]
+        head = jax.lax.ppermute(xl[:, :_HALO], "sp", perm)
+        # the last block's halo wraps around to block 0; zero it instead
+        head = jnp.where(sp_i == nsp - 1, 0.0, 1.0) * head
+        xx = jnp.concatenate([xl, head], axis=1)
+        # STS autocorrelation metric for offsets local to this block
+        ac = xx[:, 16:] * jnp.conj(xx[:, :-16])
+        w = df.moving_sum(ac, 64)[:, : nloc]
+        en = df.moving_sum(jnp.abs(xx[:, :-16]) ** 2, 64)[:, : nloc]
+        en = en.astype(jnp.float32)
+        # energy gate against the *global* max (one small all-reduce)
+        en_max = jax.lax.pmax(jnp.max(en, axis=1), "sp")
+        gate = en > 0.05 * en_max[:, None]
+        m = jnp.where(gate, jnp.abs(w) / (en + 1e-9), 0.0)
+        sts_loc = jnp.argmax(m, axis=1)
+        det = jnp.take_along_axis(m, sts_loc[:, None], 1)[:, 0]
+        wpk = jnp.take_along_axis(w, sts_loc[:, None], 1)[:, 0]
+        # candidates from every block -> replicated argmax
+        cand_det = jax.lax.all_gather(det, "sp")          # (nsp, B)
+        cand_idx = jax.lax.all_gather(sts_loc + sp_i * nloc, "sp")
+        cand_w = jax.lax.all_gather(wpk, "sp")
+        best = jnp.argmax(cand_det, axis=0)               # (B,)
+        sts = jnp.take_along_axis(cand_idx, best[None], 0)[0]
+        wsel = jnp.take_along_axis(cand_w, best[None], 0)[0]
+        cfo = jnp.angle(wsel).astype(jnp.float32) / 16.0
+        # LTS cross-correlation on the de-rotated block (+halo); the ramp
+        # phase uses the *global* sample index so blocks line up
+        gidx = (sp_i * nloc + jnp.arange(xx.shape[1])).astype(jnp.float32)
+        y = xx * jnp.exp(-1j * cfo[:, None] * gidx[None, :])
+        c = jnp.abs(df.correlate_stream(y, arx._LTS_SYM))
+        c2 = (c[:, :-64] + c[:, 64:])[:, : nloc]
+        pos = sp_i * nloc + jnp.arange(nloc)[None, :]
+        c2 = jnp.where(pos >= sts[:, None], c2, 0.0)
+        lts_loc = jnp.argmax(c2, axis=1)
+        lval = jnp.take_along_axis(c2, lts_loc[:, None], 1)[:, 0]
+        cand_lv = jax.lax.all_gather(lval, "sp")
+        cand_li = jax.lax.all_gather(lts_loc + sp_i * nloc, "sp")
+        bl = jnp.argmax(cand_lv, axis=0)
+        lts1 = jnp.take_along_axis(cand_li, bl[None], 0)[0]
+        return lts1.astype(jnp.int32), cfo
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P("dp", "sp"),
+        out_specs=(P("dp"), P("dp")),
+        # outputs are genuinely sp-replicated (they come from all_gather
+        # over sp), but varying-axis inference can't see through argmax
+        check_vma=False,
+    )
+    return fn(x)
+
+
+def rx_pipeline_sharded(x: jnp.ndarray, mesh: Mesh, rate_mbps: int,
+                        max_psdu: int = 256):
+    """Full sharded RX: (dp, sp)-sharded detection, then frame decode
+    resharded to batch-parallel over every device.
+
+    x: (B, N) complex64 on host or device; B must divide by the full
+    device count.  Returns the rx_pipeline result dict, batch-sharded.
+    """
+    xs = jax.device_put(x, NamedSharding(mesh, P("dp", "sp")))
+    lts1, cfo = synchronize_sharded(xs, mesh)
+    # reshard: batch over all devices for the decode stage
+    all_axes = P(("dp", "sp"), None)
+    xd = jax.device_put(xs, NamedSharding(mesh, all_axes))
+    lts1_d = jax.device_put(lts1, NamedSharding(mesh, P(("dp", "sp"))))
+    cfo_d = jax.device_put(cfo, NamedSharding(mesh, P(("dp", "sp"))))
+
+    rate = C.RATES[rate_mbps]
+    nsym = arx.max_symbols(rate, max_psdu)
+
+    @partial(jax.jit, static_argnames=())
+    def decode(xb, l1, cf):
+        eq, snr_db = arx.extract_symbols(xb, l1, cf, nsym)
+        rate_bits, length, sig_ok = arx.decode_signal(eq[:, 0, :])
+        length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
+        psdu, fcs_ok, _ = arx.decode_data(eq[:, 1:, :], length, rate_mbps)
+        ok = sig_ok & (rate_bits == rate.rate_bits) & fcs_ok
+        return {"psdu": psdu, "ok": ok, "fcs_ok": fcs_ok,
+                "length": length, "snr_db": snr_db}
+
+    return decode(xd, lts1_d, cfo_d)

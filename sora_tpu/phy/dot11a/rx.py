@@ -67,7 +67,11 @@ def synchronize(x: jnp.ndarray):
     ac = x[:, 16:] * jnp.conj(x[:, :-16])
     w = df.moving_sum(ac, 64)
     en = df.moving_sum(jnp.abs(x[:, :-16]) ** 2, 64).astype(jnp.float32)
-    m = jnp.abs(w) / (en + 1e-9)
+    # energy gate (the vectorized cca_pwr_threshold, cca.hpp:165-230):
+    # quiet regions would otherwise win the normalized-autocorrelation
+    # argmax on noise-over-noise ratios
+    gate = en > 0.05 * jnp.max(en, axis=-1, keepdims=True)
+    m = jnp.where(gate, jnp.abs(w) / (en + 1e-9), 0.0)
     # restrict the STS search so a full preamble+SIGNAL still fits
     valid = m[:, : max(1, N - 480)]
     sts = jnp.argmax(valid, axis=-1)
@@ -233,6 +237,34 @@ def decode_data(eq: jnp.ndarray, length: jnp.ndarray, rate_mbps: int):
     fcs_ok = (body_crc == rx_fcs) & (length >= 4) & \
         (length <= jnp.uint32(MAX_PSDU))
     return psdu, fcs_ok, nbits
+
+
+# =============================================================================
+# Whole-chain pipeline (one jit program; the unit the driver/bench runs)
+# =============================================================================
+
+
+@partial(jax.jit, static_argnames=("rate_mbps", "max_psdu"))
+def rx_pipeline(x: jnp.ndarray, rate_mbps: int, max_psdu: int = MAX_PSDU):
+    """Complete batched RX for a known rate: sync -> chanest/equalize ->
+    SIGNAL -> data decode -> FCS.
+
+    x: (B, N) complex64 streams, one frame each.  Returns a dict with
+    psdu (B, MAX_PSDU) uint8, fcs_ok/sig_ok (B,) bool, length (B,) int32,
+    snr_db (B,) float32.  This is the "forward step" of the framework —
+    the analogue of the reference's MAC11a_Receive poll loop body
+    (mac.cpp:190-280), fully fused under one jit.
+    """
+    rate = C.RATES[rate_mbps]
+    nsym = max_symbols(rate, max_psdu)
+    lts1, cfo, det = synchronize(x)
+    eq, snr_db = extract_symbols(x, lts1, cfo, nsym)
+    rate_bits, length, sig_ok = decode_signal(eq[:, 0, :])
+    length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
+    psdu, fcs_ok, _ = decode_data(eq[:, 1:, :], length, rate_mbps)
+    ok = sig_ok & (rate_bits == rate.rate_bits) & fcs_ok
+    return {"psdu": psdu, "fcs_ok": fcs_ok, "sig_ok": sig_ok, "ok": ok,
+            "length": length, "snr_db": snr_db, "lts1": lts1, "cfo": cfo}
 
 
 # =============================================================================

@@ -1,0 +1,64 @@
+"""Sharded pipeline on the virtual 8-device CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sora_tpu.mac import frame as fr
+from sora_tpu.parallel import shard as psh
+from sora_tpu.phy.dot11a import rx as jrx
+from sora_tpu.phy.dot11a import tx as jtx
+
+
+@pytest.fixture(scope="module")
+def frames(rng=np.random.default_rng(7)):
+    B, rate, psdu_len = 8, 12, 80
+    psdus = [fr.build_data_frame(bytes(rng.integers(0, 256, psdu_len - 28,
+                                                    dtype=np.uint8)), seq=i)
+             for i in range(B)]
+    arr = np.stack([np.frombuffer(p, np.uint8) for p in psdus])
+    waves = np.asarray(jtx.modulate(arr, rate, arr.shape[1]))
+    N = 4096
+    x = np.zeros((B, N), np.complex64)
+    for i in range(B):
+        off = 13 * i + 40
+        x[i, off: off + waves.shape[1]] = waves[i]
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)
+          ).astype(np.complex64) * 0.01
+    return x, arr, psdus, rate
+
+
+def test_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_sync_matches_single(frames):
+    x, arr, psdus, rate = frames
+    mesh = psh.make_mesh()
+    lts1_s, cfo_s = psh.synchronize_sharded(
+        jax.device_put(jnp.asarray(x),
+                       jax.sharding.NamedSharding(
+                           mesh, jax.sharding.PartitionSpec("dp", "sp"))),
+        mesh)
+    lts1, cfo, det = jrx.synchronize(jnp.asarray(x))
+    assert np.array_equal(np.asarray(lts1_s), np.asarray(lts1))
+    np.testing.assert_allclose(np.asarray(cfo_s), np.asarray(cfo),
+                               atol=1e-6)
+
+
+def test_sharded_pipeline_decodes(frames):
+    x, arr, psdus, rate = frames
+    mesh = psh.make_mesh()
+    out = psh.rx_pipeline_sharded(jnp.asarray(x), mesh, rate, max_psdu=128)
+    ok = np.asarray(out["ok"])
+    assert ok.all(), np.asarray(out["length"])
+    got = np.asarray(out["psdu"])
+    for i in range(len(psdus)):
+        assert bytes(got[i][: arr.shape[1]]) == psdus[i]
+
+
+def test_rx_pipeline_single_device(frames):
+    x, arr, psdus, rate = frames
+    out = jrx.rx_pipeline(jnp.asarray(x), rate, max_psdu=128)
+    assert np.asarray(out["ok"]).all()
