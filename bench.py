@@ -27,6 +27,9 @@ def log(*a):
 
 def main():
     import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     import jax.numpy as jnp
 
     from __graft_entry__ import _example_batch

@@ -173,6 +173,30 @@ def decode_blocks(soft_ab: jnp.ndarray, block: int = 512, overlap: int = 96,
     return bits.reshape(*lead, T)
 
 
+def decode_auto(soft_ab: jnp.ndarray, terminated: bool = True,
+                blockwise: bool = True) -> jnp.ndarray:
+    """Backend dispatcher: the Pallas kernel on TPU, the XLA scan decoder
+    elsewhere.  Dispatch happens at trace time (both paths are jittable).
+
+    With ``blockwise`` the TPU path uses overlapping 512-step windows
+    (throughput mode); otherwise a single exact window spanning T.
+    """
+    backend = jax.default_backend()
+    if backend == "tpu":
+        from sora_tpu.ops import viterbi_pallas as vp
+        T = soft_ab.shape[-2]
+        if blockwise and T > 1024:
+            return vp.decode_blocks(soft_ab, block=512, overlap=96,
+                                    terminated=terminated)
+        block = -(-T // 8) * 8
+        return vp.decode_blocks(soft_ab, block=block, overlap=0,
+                                terminated=terminated)
+    if blockwise and soft_ab.shape[-2] > 1024:
+        return decode_blocks(soft_ab, block=512, overlap=96,
+                             terminated=terminated)
+    return decode(soft_ab, terminated=terminated)
+
+
 def encode(bits: jnp.ndarray) -> jnp.ndarray:
     """Rate-1/2 convolutional encode (batched): (..., T) -> (..., 2T).
 

@@ -157,7 +157,8 @@ def decode_signal(eq_sig: jnp.ndarray):
     """(B, 48) equalized SIGNAL carriers -> (rate_bits, length, ok)."""
     soft = dmap.demap_soft(eq_sig, "bpsk")            # (B, 48)
     de = soft[:, _SIG_PERM]
-    bits = dvit.decode(de.reshape(-1, 24, 2), terminated=True)
+    bits = dvit.decode_auto(de.reshape(-1, 24, 2), terminated=True,
+                            blockwise=False)
     b = bits.astype(jnp.int32)
     rate_bits = (b[:, 0] << 3) | (b[:, 1] << 2) | (b[:, 2] << 1) | b[:, 3]
     parity = jnp.sum(b[:, :17], axis=-1) & 1
@@ -209,8 +210,7 @@ def decode_data(eq: jnp.ndarray, length: jnp.ndarray, rate_mbps: int):
     t_steps = nsym_max * rate.ndbps
     ab = jnp.zeros((B, 2 * t_steps), dtype=jnp.float32)
     ab = ab.at[:, jnp.asarray(_depuncture_indices(rate, t_steps))].set(flat)
-    bits = dvit.decode_blocks(ab.reshape(B, t_steps, 2),
-                              block=512, overlap=96, terminated=False)
+    bits = dvit.decode_auto(ab.reshape(B, t_steps, 2), terminated=True)
     # descramble: seed phase from the first 7 bits
     match = jnp.all(
         dscr._PHASES_J[None, :, :7] == bits[:, None, :7], axis=-1)

@@ -36,6 +36,8 @@ def capture_20msps() -> np.ndarray:
     return x[0::2]
 
 
-@pytest.fixture(scope="session")
+@pytest.fixture()
 def rng() -> np.random.Generator:
+    # function-scoped: every test sees the same deterministic stream
+    # regardless of execution order
     return np.random.default_rng(0x50BA)
