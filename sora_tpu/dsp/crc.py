@@ -18,7 +18,7 @@ import numpy as np
 
 from sora_tpu.mac.frame import crc32_table
 
-_TBL = jnp.asarray(crc32_table().astype(np.uint32))
+_TBL = crc32_table().astype(np.uint32)   # numpy: embeds as constant
 
 
 @jax.jit
@@ -26,7 +26,7 @@ def crc32_bytes(data: jnp.ndarray) -> jnp.ndarray:
     """CRC-32 (IEEE, reflected) of a uint8 vector; scalar uint32 result."""
     def step(crc, b):
         idx = (crc ^ b.astype(jnp.uint32)) & jnp.uint32(0xFF)
-        return _TBL[idx] ^ (crc >> jnp.uint32(8)), None
+        return jnp.asarray(_TBL)[idx] ^ (crc >> jnp.uint32(8)), None
 
     crc, _ = jax.lax.scan(step, jnp.uint32(0xFFFFFFFF),
                           data.astype(jnp.uint8))
@@ -44,7 +44,7 @@ def crc32_batch(data: jnp.ndarray, lengths: jnp.ndarray) -> jnp.ndarray:
     def step(crc, inp):
         b, t = inp
         idx = (crc ^ b.astype(jnp.uint32)) & jnp.uint32(0xFF)
-        nxt = _TBL[idx] ^ (crc >> jnp.uint32(8))
+        nxt = jnp.asarray(_TBL)[idx] ^ (crc >> jnp.uint32(8))
         return jnp.where(t < lengths, nxt, crc), None
 
     B, N = data.shape

@@ -29,13 +29,14 @@ for _seed in range(1, 128):
             break
 
 _PHASES_TABLE = np.stack([np.roll(_PERIOD, -o) for o in range(127)])
-_PHASES_J = jnp.asarray(_PHASES_TABLE)
-_PHASE_J = jnp.asarray(_PHASE)
+# kept as numpy so traced uses embed them as program constants
+_PHASES_J = _PHASES_TABLE
+_PHASE_J = _PHASE
 
 
 def sequence(n: int, seed) -> jnp.ndarray:
     """First n scrambler output bits for a (traced or static) 7-bit seed."""
-    row = _PHASES_J[_PHASE_J[seed]]
+    row = jnp.asarray(_PHASES_J)[jnp.asarray(_PHASE_J)[seed]]
     reps = -(-n // 127)
     return jnp.tile(row, reps)[:n]
 
@@ -48,7 +49,8 @@ def seed_from_prefix(prefix7: jnp.ndarray) -> jnp.ndarray:
     canonical period against all 127 phases and maps phase -> seed.
     """
     # find phase whose first 7 bits match
-    match = jnp.all(_PHASES_J[:, :7] == prefix7[None, :], axis=1)
+    match = jnp.all(jnp.asarray(_PHASES_J[:, :7]) == prefix7[None, :],
+                    axis=1)
     phase = jnp.argmax(match)
     # invert _PHASE: seed_of_phase[o]
     inv = np.zeros(127, dtype=np.int64)

@@ -37,8 +37,7 @@ _SGN_A = (2.0 * C.BFLY_OUT_A - 1.0).astype(np.float32)
 _SGN_B = (2.0 * C.BFLY_OUT_B - 1.0).astype(np.float32)
 # per-(j, b) sign rows, shape (1, 32) each, kept as numpy: they fold into
 # the compiled program as constants
-_SGN = {(j, b): (jnp.asarray(_SGN_A[None, :, j, b]),
-                 jnp.asarray(_SGN_B[None, :, j, b]))
+_SGN = {(j, b): (_SGN_A[None, :, j, b], _SGN_B[None, :, j, b])
         for j in (0, 1) for b in (0, 1)}
 
 

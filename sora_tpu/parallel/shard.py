@@ -140,7 +140,8 @@ def rx_pipeline_sharded(x: jnp.ndarray, mesh: Mesh, rate_mbps: int,
         length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
         psdu, fcs_ok, _ = arx.decode_data(eq[:, 1:, :], length, rate_mbps)
         ok = sig_ok & (rate_bits == rate.rate_bits) & fcs_ok
-        return {"psdu": psdu, "ok": ok, "fcs_ok": fcs_ok,
+        return {"psdu": psdu, "ok": ok.astype(jnp.uint8),
+                "fcs_ok": fcs_ok.astype(jnp.uint8),
                 "length": length, "snr_db": snr_db}
 
     return decode(xd, lts1_d, cfo_d)

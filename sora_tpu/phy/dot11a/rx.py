@@ -149,7 +149,10 @@ def extract_symbols(x: jnp.ndarray, lts1: jnp.ndarray, cfo: jnp.ndarray,
 # SIGNAL decode
 # =============================================================================
 
-_SIG_PERM = jnp.asarray(C.interleaver_permutation(48, 1))
+# numpy, not jnp: module-level device arrays can't be embedded as
+# constants when tracing on the axon backend (device->host copy is
+# unimplemented there); numpy constants embed directly
+_SIG_PERM = C.interleaver_permutation(48, 1)
 
 
 @jax.jit
@@ -213,9 +216,10 @@ def decode_data(eq: jnp.ndarray, length: jnp.ndarray, rate_mbps: int):
     bits = dvit.decode_auto(ab.reshape(B, t_steps, 2), terminated=True)
     # descramble: seed phase from the first 7 bits
     match = jnp.all(
-        dscr._PHASES_J[None, :, :7] == bits[:, None, :7], axis=-1)
+        jnp.asarray(dscr._PHASES_J[None, :, :7]) == bits[:, None, :7],
+        axis=-1)
     phase = jnp.argmax(match, axis=-1)
-    seq = dscr._PHASES_J[phase]                       # (B, 127)
+    seq = jnp.asarray(dscr._PHASES_J)[phase]          # (B, 127)
     reps = -(-t_steps // 127)
     seq = jnp.tile(seq, (1, reps))[:, :t_steps]
     desc = bits ^ seq
@@ -263,7 +267,10 @@ def rx_pipeline(x: jnp.ndarray, rate_mbps: int, max_psdu: int = MAX_PSDU):
     length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
     psdu, fcs_ok, _ = decode_data(eq[:, 1:, :], length, rate_mbps)
     ok = sig_ok & (rate_bits == rate.rate_bits) & fcs_ok
-    return {"psdu": psdu, "fcs_ok": fcs_ok, "sig_ok": sig_ok, "ok": ok,
+    # booleans leave the device as uint8: the axon backend cannot
+    # transfer bool arrays to the host
+    return {"psdu": psdu, "fcs_ok": fcs_ok.astype(jnp.uint8),
+            "sig_ok": sig_ok.astype(jnp.uint8), "ok": ok.astype(jnp.uint8),
             "length": length, "snr_db": snr_db, "lts1": lts1, "cfo": cfo}
 
 
@@ -298,6 +305,7 @@ def demodulate(x, expect_rate: int | None = None) -> RxResult:
     eq1, snr = extract_symbols(xb, lts1, cfo, 0)
     res.snr_est_db = float(snr[0])
     rate_bits, length, sig_ok = decode_signal(eq1[:, 0, :])
+    sig_ok = sig_ok.astype(jnp.uint8)     # bool fetch unsupported on axon
     if not bool(sig_ok[0]):
         res.reason = "plcp_header_fail"
         return res
@@ -320,7 +328,7 @@ def demodulate(x, expect_rate: int | None = None) -> RxResult:
     psdu, fcs_ok, _ = decode_data(eq[:, 1:, :], length.astype(jnp.int32),
                                   rate.mbps)
     res.psdu = bytes(np.asarray(psdu[0])[: res.length])
-    res.fcs_ok = bool(fcs_ok[0])
+    res.fcs_ok = bool(fcs_ok.astype(jnp.uint8)[0])
     res.ok = res.fcs_ok
     res.reason = "frame_ok" if res.ok else "crc32_fail"
     return res
