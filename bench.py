@@ -35,13 +35,14 @@ def main():
     from __graft_entry__ import _example_batch
     from sora_tpu.dsp import viterbi as dvit
     from sora_tpu.phy.dot11a import rx as jrx
+    from sora_tpu.util.xfer import device_complex
 
     log("backend:", jax.default_backend(), jax.devices())
 
     rate, max_psdu = 54, 1600
     B, N = 64, 8192
     x = _example_batch(rate, n_streams=B, n_samples=N, psdu_len=1500)
-    xd = jnp.asarray(x)
+    xd = device_complex(x)   # complex64 cannot cross the axon boundary
 
     fn = lambda xb: jrx.rx_pipeline(xb, rate, max_psdu=max_psdu)
     t0 = time.perf_counter()

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from functools import lru_cache
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -47,10 +48,13 @@ def dft(x: jnp.ndarray, inverse: bool = False) -> jnp.ndarray:
     xr = jnp.real(x)
     xi = jnp.imag(x)
     # (re + j im) @ (C + jS) = (re@C - im@S) + j(re@S + im@C)
-    yr = jnp.matmul(xr, c, preferred_element_type=jnp.float32) - \
-        jnp.matmul(xi, s, preferred_element_type=jnp.float32)
-    yi = jnp.matmul(xr, s, preferred_element_type=jnp.float32) + \
-        jnp.matmul(xi, c, preferred_element_type=jnp.float32)
+    # HIGHEST precision: TPU matmul otherwise truncates inputs to bf16
+    # (~8 mantissa bits), which costs ~30 dB of effective SNR — fatal for
+    # 64-QAM equalization.  The 64-pt DFT is tiny; fp32 passes are free.
+    mm = lambda a, b: jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST,
+                                 preferred_element_type=jnp.float32)
+    yr = mm(xr, c) - mm(xi, s)
+    yi = mm(xr, s) + mm(xi, c)
     return yr + 1j * yi
 
 

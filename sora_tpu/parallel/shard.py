@@ -122,7 +122,14 @@ def rx_pipeline_sharded(x: jnp.ndarray, mesh: Mesh, rate_mbps: int,
     x: (B, N) complex64 on host or device; B must divide by the full
     device count.  Returns the rx_pipeline result dict, batch-sharded.
     """
-    xs = jax.device_put(x, NamedSharding(mesh, P("dp", "sp")))
+    spec = NamedSharding(mesh, P("dp", "sp"))
+    if isinstance(x, jax.Array) and x.committed:
+        xs = jax.device_put(x, spec)
+    else:
+        # host arrays cross the boundary as float32 (re, im) pairs — the
+        # axon TPU runtime cannot transfer complex64 (sora_tpu.util.xfer)
+        from sora_tpu.util.xfer import device_complex
+        xs = device_complex(x, NamedSharding(mesh, P("dp", "sp", None)))
     lts1, cfo = synchronize_sharded(xs, mesh)
     # reshard: batch over all devices for the decode stage
     all_axes = P(("dp", "sp"), None)
