@@ -1,0 +1,103 @@
+"""JAX 802.11b device chain: TX parity vs golden, RX loopback, failure
+paths.  (Reference test model: demod11 -11b mod/demod loopback,
+SURVEY.md §4.2.)"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sora_tpu.golden import dot11b_np as g
+from sora_tpu.mac import frame as fr
+from sora_tpu.phy import dot11b_common as B
+from sora_tpu.phy.dot11b import rx as jrx
+from sora_tpu.phy.dot11b import tx as jtx
+
+RATES = [1, 2, 5.5, 11]
+
+
+def _frames(rng, n, payload_len):
+    return [fr.build_data_frame(bytes(rng.integers(0, 256, payload_len,
+                                                   dtype=np.uint8)), seq=i)
+            for i in range(n)]
+
+
+def test_scrambler_impulse_response_is_127_periodic():
+    hp = jtx._impulse_response_period()
+    assert hp.shape == (127,)
+    # golden check: scramble an impulse with zero seed
+    imp = np.zeros(254, np.uint8)
+    imp[0] = 1
+    ref = B.scramble_11b(imp, seed=0)
+    assert np.array_equal(ref[:127], hp)
+    assert np.array_equal(ref[127:], hp)
+
+
+@pytest.mark.parametrize("seed", [0x6C, 0x00, 0x7F, 0x35])
+def test_scramble_tx_matches_golden(rng, seed):
+    bits = rng.integers(0, 2, (3, 400)).astype(np.uint8)
+    dev = np.asarray(jtx.scramble_tx(jnp.asarray(bits), seed))
+    for i in range(3):
+        assert np.array_equal(dev[i], B.scramble_11b(bits[i], seed)), i
+
+
+@pytest.mark.parametrize("rate", RATES)
+def test_tx_matches_golden_model(rng, rate):
+    psdus = _frames(rng, 2, 40)
+    arr = np.stack([np.frombuffer(p, np.uint8) for p in psdus])
+    wave = np.asarray(jtx.modulate(jnp.asarray(arr), rate, arr.shape[1]))
+    for i, p in enumerate(psdus):
+        ref = g.modulate(p, rate)
+        assert wave.shape[1] == len(ref)
+        assert np.allclose(wave[i], ref, atol=2e-3), rate
+
+
+@pytest.mark.parametrize("rate", RATES)
+def test_rx_loopback_batched(rng, rate):
+    n_frames, payload = 4, 36
+    psdus = _frames(rng, n_frames, payload)
+    plen = len(psdus[0])
+    nchips = jtx.waveform_len(rate, plen) + 300
+    x = np.zeros((n_frames, nchips), np.complex64)
+    for i, p in enumerate(psdus):
+        w = g.modulate(p, rate).astype(np.complex64)
+        x[i, 40 + 3 * i: 40 + 3 * i + len(w)] = w
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)) \
+        .astype(np.complex64) * 0.02
+    out = jrx.rx_pipeline(jnp.asarray(x), rate, max_psdu=plen)
+    ok = np.asarray(out["ok"])
+    assert ok.all(), (rate, ok, np.asarray(out["plcp_ok"]),
+                      np.asarray(out["sig_rate_ok"]),
+                      np.asarray(out["fcs_ok"]))
+    psdu = np.asarray(out["psdu"])
+    length = np.asarray(out["length"])
+    for i, p in enumerate(psdus):
+        assert length[i] == plen
+        assert bytes(psdu[i][:plen]) == p, (rate, i)
+
+
+def test_rx_auto_rate_dispatch(rng):
+    psdu = fr.build_data_frame(b"hello 11b world", seq=9)
+    for rate in RATES:
+        w = g.modulate(psdu, rate)
+        x = np.concatenate([np.zeros(50), w, np.zeros(100)])
+        res = jrx.demodulate(x.astype(np.complex64), max_psdu=64)
+        assert res.ok and res.rate_mbps == rate, (rate, res.reason)
+        assert res.psdu == psdu
+
+
+def test_rx_noise_rejected(rng):
+    x = (rng.normal(size=4000) + 1j * rng.normal(size=4000))
+    res = jrx.demodulate(x.astype(np.complex64), max_psdu=64)
+    assert not res.ok
+    assert res.reason in ("plcp_header_fail", "no_frame", "crc32_fail")
+
+
+def test_rx_wrong_static_rate_flagged(rng):
+    psdu = fr.build_data_frame(b"rate mismatch", seq=1)
+    w = g.modulate(psdu, 2).astype(np.complex64)
+    x = np.concatenate([np.zeros(30, np.complex64), w])[None, :]
+    out = jrx.rx_pipeline(jnp.asarray(x), 11, max_psdu=64)
+    assert not np.asarray(out["ok"])[0]
+    assert not np.asarray(out["sig_rate_ok"])[0]
+    assert np.asarray(out["plcp_ok"])[0]          # header still parses
