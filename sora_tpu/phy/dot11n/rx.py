@@ -1,0 +1,418 @@
+"""802.11n HT 2x2 MIMO receiver — JAX, batched, jit-compiled.
+
+TPU-first redesign of the reference 11n RX brick graph
+(kernel/bb/demod11/fb11ndemod_config.hpp:142-206):
+
+* TCCA11n's antenna-summed carrier sense (cca_11n.hpp:7) becomes
+  vectorized detection over all offsets at once, exactly like the 11a
+  chain.
+* TMimoChannelEst (channel_11n.hpp:331-445) — per-subcarrier 2x2 H from
+  the P-mapped HT-LTFs — is one einsum against P2^-1; the per-subcarrier
+  matrix inversion the reference does with CSoraMatrix::inverse_scale
+  (kernel/brick/inc/sora_matrix.h:53-444) is a closed-form 2x2 inverse in
+  complex64, batched over (frame, subcarrier) so it lands on the VPU.
+* TMrcCombine (PHY_11n.hpp:364) for the legacy-coded L-SIG/HT-SIG symbols
+  is conj(H)-weighted summation over RX antennas.
+* T11nDeinterleave*_S0/_S1 (deinterleaver_11n.hpp) and TStreamParser
+  (streamparser.hpp:7-139) become static gather/scatter index arrays.
+* T11nViterbiSig / the data Viterbi reuse the shared decoder
+  (sora_tpu.dsp.viterbi, Pallas on TPU).
+
+Batch convention: x is (B, 2, N) — B frames, 2 RX antennas each.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sora_tpu.dsp import crc as dcrc
+from sora_tpu.dsp import fft as dfft
+from sora_tpu.dsp import filters as df
+from sora_tpu.dsp import mapping as dmap
+from sora_tpu.dsp import scramble as dscr
+from sora_tpu.dsp import viterbi as dvit
+from sora_tpu.phy import common as C
+from sora_tpu.phy import dot11n_common as N
+from sora_tpu.phy.dot11a.rx import MAX_PSDU
+
+_LTS_SYM = np.asarray(C.LTS_TIME_SYM, dtype=np.complex64)
+_LTS_SIGN = np.zeros(64, dtype=np.float32)
+_LTS_SIGN[C.OCC_BINS] = C.LTS_FREQ
+
+# window layout after the first LTS repeat (20 Msps samples)
+_OFF_LSIG, _OFF_HTSIG1, _OFF_HTSIG2 = 128, 208, 288
+_OFF_HTLTF1, _OFF_HTLTF2, _OFF_DATA = 448, 528, 608
+
+_SIG_PERM = C.interleaver_permutation(48, 1)
+
+# HT-SIG CRC-8 as an affine map over GF(2): crc(b) = _CRC8_CONST ^ (M @ b)
+# (dot11n_common.crc8_htsig is linear in the message given the all-ones
+# init) — lets the CRC check run on-device as one (8, 34) matmul.
+_CRC8_CONST = N.crc8_htsig(np.zeros(34, np.uint8))
+_CRC8_MAT = np.stack([
+    N.crc8_htsig(np.eye(34, dtype=np.uint8)[i]) ^ _CRC8_CONST
+    for i in range(34)], axis=1)                              # (8, 34)
+
+
+def num_symbols(mcs: int, psdu_len: int) -> int:
+    return -(-(16 + 8 * psdu_len + 6) // N.MCS[mcs].ndbps)
+
+
+def max_symbols(mcs: int, max_psdu: int = MAX_PSDU) -> int:
+    return num_symbols(mcs, max_psdu)
+
+
+# =============================================================================
+# Synchronization (vectorized TCCA11n front end)
+# =============================================================================
+
+
+@jax.jit
+def synchronize(x: jnp.ndarray):
+    """Packet detect + timing + coarse CFO for a batch of 2-antenna streams.
+
+    x: (B, 2, N) complex64.  Returns (lts1 (B,) int32 — start of the first
+    legacy LTS repeat, cfo (B,) float32 rad/sample, det (B,) float32).
+    """
+    B, A, Nn = x.shape
+    xf = x.reshape(B * A, Nn)
+    ac = xf[:, 16:] * jnp.conj(xf[:, :-16])
+    w = df.moving_sum(ac, 64).reshape(B, A, -1).sum(axis=1)
+    en = df.moving_sum(jnp.abs(xf[:, :-16]) ** 2, 64).astype(
+        jnp.float32).reshape(B, A, -1).sum(axis=1)
+    gate = en > 0.05 * jnp.max(en, axis=-1, keepdims=True)
+    m = jnp.where(gate, jnp.abs(w) / (en + 1e-9), 0.0)
+    valid = m[:, : max(1, Nn - 900)]
+    # plateau ONSET, not argmax: the HT-STF repeats the STS periodicity so
+    # the global lag-16 plateau maximum can land mid-frame; the first
+    # sample exceeding 90% of the plateau is strictly inside the legacy
+    # STS (same guard as the golden model's sync)
+    peak = jnp.max(valid, axis=-1, keepdims=True)
+    onset = jnp.argmax(valid > 0.9 * peak, axis=-1)
+    sts = jnp.minimum(onset + 16, valid.shape[-1] - 1)
+    det = jnp.take_along_axis(valid, sts[:, None], axis=1)[:, 0]
+    wsel = jnp.take_along_axis(w, sts[:, None], axis=1)[:, 0]
+    cfo = jnp.angle(wsel).astype(jnp.float32) / 16.0
+    ramp = jnp.exp(-1j * cfo[:, None, None]
+                   * jnp.arange(Nn, dtype=jnp.float32))
+    y = (x * ramp).reshape(B * A, Nn)
+    c = jnp.abs(df.correlate_stream(y, _LTS_SYM)).reshape(B, A, -1).sum(1)
+    c2 = c[:, :-64] + c[:, 64:]
+    pos = jnp.arange(c2.shape[-1])[None, :]
+    # the legacy LTS begins within ~320 samples of the STS plateau onset;
+    # the window excludes the (LTS-like) HT-LTFs further into the frame
+    inwin = (pos >= sts[:, None]) & (pos <= sts[:, None] + 320)
+    c2 = jnp.where(inwin, c2, 0.0)
+    lts1 = jnp.argmax(c2, axis=-1).astype(jnp.int32)
+    return lts1, cfo, det
+
+
+# =============================================================================
+# Front end: CFO, legacy chanest, SIG symbols, MIMO chanest, ZF detection
+# =============================================================================
+
+
+def _mrc_symbol(y: jnp.ndarray, Hleg: jnp.ndarray, off: int, pol_idx: int):
+    """Legacy-coded symbol at window offset `off` -> (B, 48) equalized
+    data carriers (TMrcCombine, PHY_11n.hpp:364 + pilot phase track)."""
+    S = dfft.fft64(y[:, :, off + 16: off + 80])               # (B, 2, 64)
+    num = jnp.sum(jnp.conj(Hleg) * S, axis=1)
+    den = jnp.sum(jnp.abs(Hleg) ** 2, axis=1) + 1e-12
+    E = num / den                                             # (B, 64)
+    pv = E[:, jnp.asarray(C.PILOT_BINS)] * jnp.asarray(
+        C.PILOT_VAL * C.PILOT_POLARITY[pol_idx], dtype=jnp.float32)
+    E = E * jnp.exp(-1j * jnp.angle(jnp.sum(pv, axis=-1)))[:, None]
+    return E[:, jnp.asarray(C.DATA_BINS)]
+
+
+def _inv2x2(H: jnp.ndarray) -> jnp.ndarray:
+    """Closed-form inverse of (..., 2, 2) complex matrices (the
+    CSoraMatrix::inverse_scale analogue, sora_matrix.h:53-444)."""
+    det = H[..., 0, 0] * H[..., 1, 1] - H[..., 0, 1] * H[..., 1, 0]
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12 + 0j, det)
+    row0 = jnp.stack([H[..., 1, 1], -H[..., 0, 1]], axis=-1)
+    row1 = jnp.stack([-H[..., 1, 0], H[..., 0, 0]], axis=-1)
+    return jnp.stack([row0, row1], axis=-2) * inv_det[..., None, None]
+
+
+@partial(jax.jit, static_argnames=("nsym",))
+def extract_symbols(x: jnp.ndarray, lts1: jnp.ndarray, cfo: jnp.ndarray,
+                    nsym: int):
+    """Front end through ZF detection for SIG + nsym HT data symbols.
+
+    x: (B, 2, N).  Returns (sig_eq (B, 3, 48) — L-SIG/HT-SIG1/HT-SIG2
+    equalized carriers gain-normalized, xd (B, nsym, 52, 2) ZF-detected
+    per-stream data carriers, snr_db (B,)).
+    """
+    B, A, Nn = x.shape
+    need = _OFF_DATA + 80 * nsym
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, need)))
+
+    def cut(frame, start):
+        return jax.lax.dynamic_slice(frame, (0, start), (A, need))
+
+    y = jax.vmap(cut)(xp, lts1)                               # (B, 2, need)
+    n_idx = jnp.arange(need, dtype=jnp.float32)
+    y = y * jnp.exp(-1j * cfo[:, None, None] * n_idx)
+    fine = jnp.angle(jnp.sum(jnp.conj(y[:, :, :64]) * y[:, :, 64:128],
+                             axis=(-2, -1))).astype(jnp.float32) / 64.0
+    y = y * jnp.exp(-1j * fine[:, None, None] * n_idx)
+
+    # legacy per-antenna channel estimate (T11aLTS analogue)
+    L = 0.5 * (dfft.fft64(y[:, :, :64]) + dfft.fft64(y[:, :, 64:128]))
+    Hleg = L * jnp.asarray(_LTS_SIGN)                         # (B, 2, 64)
+    nvar = jnp.mean(jnp.abs(y[:, :, :64] - y[:, :, 64:128]) ** 2,
+                    axis=(-2, -1)) / 2
+    sig_p = jnp.mean(jnp.abs(Hleg) ** 2, axis=(-2, -1)) * (64.0 / 52.0)
+    snr_db = 10.0 * jnp.log10(sig_p / (nvar + 1e-12) + 1e-12)
+
+    lsig = _mrc_symbol(y, Hleg, _OFF_LSIG, 0)
+    ht1 = _mrc_symbol(y, Hleg, _OFF_HTSIG1, 1)
+    ht2 = _mrc_symbol(y, Hleg, _OFF_HTSIG2, 2)
+    gain = jnp.mean(jnp.abs(lsig), axis=-1, keepdims=True) + 1e-12
+    sig_eq = jnp.stack([lsig, ht1, ht2], axis=1) / gain[:, None, :]
+
+    # 2x2 MIMO channel estimate from the two P-mapped HT-LTFs
+    # (TMimoChannelEst, channel_11n.hpp:331-445)
+    Y = jnp.stack([dfft.fft64(y[:, :, _OFF_HTLTF1 + 16: _OFF_HTLTF1 + 80]),
+                   dfft.fft64(y[:, :, _OFF_HTLTF2 + 16: _OFF_HTLTF2 + 80])],
+                  axis=-1)                                    # (B,2,64,2ltf)
+    # Y[b,a,k,n] = sum_i H[b,k,a,i] P2[i,n] Lseq[k]
+    Ht = jnp.einsum("bakn,nm->bkam", Y,
+                    jnp.asarray(N.P2_INV, dtype=jnp.complex64))
+    lseq = np.where(N.HTLTF_FREQ == 0, 1.0, N.HTLTF_FREQ)
+    lseq_full = np.ones(64, np.float32)
+    lseq_full[N.HT_OCC_BINS] = lseq
+    H = Ht / jnp.asarray(lseq_full)[None, :, None, None]      # (B,64,2,2)
+
+    Hd_inv = _inv2x2(H[:, jnp.asarray(N.HT_DATA_BINS)])       # (B,52,2,2)
+    Hp_inv = _inv2x2(H[:, jnp.asarray(N.HT_PILOT_BINS)])      # (B,4,2,2)
+
+    # HT data symbols: FFT + per-subcarrier ZF + pilot phase track
+    if nsym == 0:
+        xd = jnp.zeros((B, 0, 52, 2), dtype=jnp.complex64)
+        return sig_eq, xd, snr_db
+    sym = y[:, :, _OFF_DATA: _OFF_DATA + 80 * nsym].reshape(
+        B, A, nsym, 80)[:, :, :, 16:]
+    S = dfft.fft64(sym)                                       # (B,2,nsym,64)
+    Sd = jnp.transpose(S[:, :, :, jnp.asarray(N.HT_DATA_BINS)],
+                       (0, 2, 3, 1))                          # (B,nsym,52,2)
+    Sp = jnp.transpose(S[:, :, :, jnp.asarray(N.HT_PILOT_BINS)],
+                       (0, 2, 3, 1))                          # (B,nsym,4,2)
+    xd = jnp.einsum("bkij,bnkj->bnki", Hd_inv, Sd)            # (B,nsym,52,2)
+    xpil = jnp.einsum("bkij,bnkj->bnki", Hp_inv, Sp)          # (B,nsym,4,2)
+
+    if True:
+        from sora_tpu.phy.dot11n.tx import _pilot_table
+        expect = jnp.asarray(_pilot_table(nsym))              # (nsym,2,4)
+        # xpil is (B, nsym, pilot, stream) -> align to (nsym, stream, pilot)
+        ph = jnp.angle(jnp.sum(
+            jnp.transpose(xpil, (0, 1, 3, 2))
+            * jnp.conj(expect.astype(jnp.complex64))[None],
+            axis=(-2, -1)))
+        xd = xd * jnp.exp(-1j * ph)[:, :, None, None]
+    return sig_eq, xd, snr_db
+
+
+# =============================================================================
+# SIG decode
+# =============================================================================
+
+
+@jax.jit
+def decode_lsig(eq: jnp.ndarray):
+    """(B, 48) L-SIG carriers -> (lsig_ok (B,) bool).  For HT mixed-mode
+    the L-SIG only gates the frame (rate 6 Mbps spoof length); the real
+    parameters come from HT-SIG."""
+    soft = dmap.demap_soft(eq, "bpsk")
+    de = soft[:, _SIG_PERM]
+    bits = dvit.decode_auto(de.reshape(-1, 24, 2), terminated=True,
+                            blockwise=False).astype(jnp.int32)
+    parity_ok = (jnp.sum(bits[:, :17], axis=-1) & 1) == bits[:, 17]
+    tail_ok = jnp.sum(bits[:, 18:24], axis=-1) == 0
+    return parity_ok & tail_ok
+
+
+@jax.jit
+def decode_htsig(eq2: jnp.ndarray):
+    """(B, 2, 48) HT-SIG1/2 carriers (QBPSK — constellation on the
+    imaginary axis) -> (mcs (B,), length (B,), crc_ok (B,))."""
+    soft = jnp.imag(eq2).astype(jnp.float32)[:, :, _SIG_PERM]
+    hs = soft.reshape(soft.shape[0], 96)
+    bits = dvit.decode_auto(hs.reshape(-1, 48, 2), terminated=True,
+                            blockwise=False).astype(jnp.int32)
+    mcs = jnp.sum(bits[:, :7] << jnp.arange(7)[None, :], axis=-1)
+    length = jnp.sum(bits[:, 8:24] << jnp.arange(16)[None, :], axis=-1)
+    crc = (jnp.sum(jnp.asarray(_CRC8_MAT, jnp.int32)[None]
+                   * bits[:, None, :34], axis=-1)
+           + jnp.asarray(_CRC8_CONST, jnp.int32)[None]) & 1
+    crc_ok = jnp.all(crc == bits[:, 34:42], axis=-1)
+    tail_ok = jnp.sum(bits[:, 42:48], axis=-1) == 0
+    return mcs, length, crc_ok & tail_ok
+
+
+# =============================================================================
+# DATA decode (per-MCS, shape-static)
+# =============================================================================
+
+
+def _depuncture_indices(m: N.McsParam, t_steps: int) -> np.ndarray:
+    pa, pb = N.puncture_pattern(m.num, m.den)
+    keep = np.stack([pa, pb], -1).reshape(-1)
+    reps = -(-2 * t_steps // len(keep))
+    return np.flatnonzero(np.tile(keep, reps)[: 2 * t_steps])
+
+
+@partial(jax.jit, static_argnames=("mcs", "max_psdu"))
+def decode_data(xd: jnp.ndarray, length: jnp.ndarray, mcs: int,
+                max_psdu: int = MAX_PSDU):
+    """Decode ZF-detected HT data symbols for one MCS.
+
+    xd: (B, nsym_max, 52, 2) per-stream detected carriers; length: (B,)
+    PSDU byte counts from HT-SIG.  Returns (psdu (B, max_psdu) uint8,
+    fcs_ok (B,) bool).
+    """
+    m = N.MCS[mcs]
+    B, nsym_max = xd.shape[0], xd.shape[1]
+    ncbps = 2 * m.ncbpss
+    sp = N.stream_parse_indices(ncbps, m.nbpsc)               # (2, ncbpss)
+
+    merged = jnp.zeros((B, nsym_max, ncbps), dtype=jnp.float32)
+    for i in range(2):
+        soft = dmap.demap_soft(xd[:, :, :, i], m.modulation)
+        perm = N.ht_interleaver_permutation(m.nbpsc, i)
+        de = soft[:, :, jnp.asarray(perm)]
+        merged = merged.at[:, :, jnp.asarray(sp[i])].set(de)
+
+    nbits = 16 + 8 * length + 6
+    nsym_actual = -(-nbits // m.ndbps)
+    symi = jnp.arange(nsym_max)[None, :]
+    merged = jnp.where(symi[:, :, None] < nsym_actual[:, None, None],
+                       merged, 0.0)
+    flat = merged.reshape(B, -1)
+    t_steps = nsym_max * m.ndbps
+    ab = jnp.zeros((B, 2 * t_steps), dtype=jnp.float32)
+    ab = ab.at[:, jnp.asarray(_depuncture_indices(m, t_steps))].set(flat)
+    bits = dvit.decode_auto(ab.reshape(B, t_steps, 2), terminated=True)
+
+    match = jnp.all(jnp.asarray(dscr._PHASES_J[None, :, :7])
+                    == bits[:, None, :7], axis=-1)
+    phase = jnp.argmax(match, axis=-1)
+    seq = jnp.asarray(dscr._PHASES_J)[phase]
+    reps = -(-t_steps // 127)
+    seq = jnp.tile(seq, (1, reps))[:, :t_steps]
+    desc = bits ^ seq
+
+    nbytes_max = (t_steps - 22) // 8
+    payload = desc[:, 16: 16 + 8 * nbytes_max].reshape(B, nbytes_max, 8)
+    weights = jnp.asarray([1, 2, 4, 8, 16, 32, 64, 128], dtype=jnp.uint8)
+    psdu = jnp.sum(payload * weights[None, None, :], axis=-1,
+                   dtype=jnp.uint32).astype(jnp.uint8)
+    psdu = jnp.pad(psdu, ((0, 0), (0, max(0, max_psdu - nbytes_max))))
+    psdu = psdu[:, :max_psdu]
+    body_crc = dcrc.crc32_batch(psdu, length - 4)
+    idx = jnp.clip(length[:, None] - 4 + jnp.arange(4)[None, :], 0,
+                   max_psdu - 1)
+    fcs_bytes = jnp.take_along_axis(psdu, idx, axis=1).astype(jnp.uint32)
+    rx_fcs = (fcs_bytes[:, 0] | (fcs_bytes[:, 1] << 8)
+              | (fcs_bytes[:, 2] << 16) | (fcs_bytes[:, 3] << 24))
+    fcs_ok = (body_crc == rx_fcs) & (length >= 4) & \
+        (length <= jnp.uint32(max_psdu))
+    return psdu, fcs_ok
+
+
+# =============================================================================
+# Whole-chain pipeline (one jit program per MCS)
+# =============================================================================
+
+
+@partial(jax.jit, static_argnames=("mcs", "max_psdu"))
+def rx_pipeline(x: jnp.ndarray, mcs: int, max_psdu: int = MAX_PSDU):
+    """Complete batched 2x2 HT RX for a known MCS.
+
+    x: (B, 2, N) complex64.  Returns dict with psdu (B, max_psdu) uint8,
+    ok/fcs_ok/sig_ok (B,) uint8, mcs/length (B,) int32, snr_db, lts1, cfo.
+    """
+    nsym = max_symbols(mcs, max_psdu)
+    lts1, cfo, det = synchronize(x)
+    sig_eq, xd, snr_db = extract_symbols(x, lts1, cfo, nsym)
+    lsig_ok = decode_lsig(sig_eq[:, 0])
+    mcs_rx, length, htsig_ok = decode_htsig(sig_eq[:, 1:])
+    length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
+    psdu, fcs_ok = decode_data(xd, length, mcs, max_psdu)
+    sig_ok = lsig_ok & htsig_ok
+    ok = sig_ok & (mcs_rx == mcs) & fcs_ok
+    return {"psdu": psdu, "fcs_ok": fcs_ok.astype(jnp.uint8),
+            "sig_ok": sig_ok.astype(jnp.uint8), "ok": ok.astype(jnp.uint8),
+            "mcs": mcs_rx.astype(jnp.int32), "length": length,
+            "snr_db": snr_db, "lts1": lts1, "cfo": cfo}
+
+
+# =============================================================================
+# Host-facing API
+# =============================================================================
+
+
+@dataclass
+class RxResult:
+    ok: bool = False
+    reason: str = "no_frame"
+    mcs: int = -1
+    length: int = 0
+    psdu: bytes = b""
+    fcs_ok: bool = False
+    start: int = -1
+    cfo: float = 0.0
+    snr_est_db: float = 0.0
+    _debug: dict = field(default_factory=dict)
+
+
+def demodulate(x, expect_mcs: int | None = None) -> RxResult:
+    """Single-frame convenience wrapper (API-compatible with the golden
+    model's demodulate).  x: (2, nsamples) at 20 Msps."""
+    xb = jnp.asarray(np.asarray(x, dtype=np.complex64))[None]
+    res = RxResult()
+    if xb.ndim != 3 or xb.shape[1] != 2 or xb.shape[2] < 900:
+        return res
+    lts1, cfo, det = synchronize(xb)
+    res.start = int(lts1[0])
+    res.cfo = float(cfo[0])
+    sig_eq, _, snr = extract_symbols(xb, lts1, cfo, 0)
+    res.snr_est_db = float(snr[0])
+    lsig_ok = decode_lsig(sig_eq[:, 0]).astype(jnp.uint8)
+    if not bool(lsig_ok[0]):
+        res.reason = "plcp_header_fail"
+        return res
+    mcs_rx, length, htsig_ok = decode_htsig(sig_eq[:, 1:])
+    if not bool(htsig_ok.astype(jnp.uint8)[0]):
+        res.reason = "htsig_fail"
+        return res
+    mcs, res.length = int(mcs_rx[0]), int(length[0])
+    res.mcs = mcs
+    if mcs not in N.MCS:
+        res.reason = "htsig_fail"
+        return res
+    if expect_mcs is not None and mcs != expect_mcs:
+        res.reason = "unexpected_mcs"
+        return res
+    if res.length > MAX_PSDU:
+        res.reason = "oversize"
+        return res
+    nsym_actual = num_symbols(mcs, res.length)
+    if x.shape[1] < res.start + _OFF_DATA + 80 * nsym_actual:
+        res.reason = "truncated"
+        return res
+    nsym = max_symbols(mcs)
+    _, xd, _ = extract_symbols(xb, lts1, cfo, nsym)
+    psdu, fcs_ok = decode_data(xd, jnp.asarray([res.length], jnp.int32),
+                               mcs)
+    res.psdu = bytes(np.asarray(psdu[0])[: res.length])
+    res.fcs_ok = bool(fcs_ok.astype(jnp.uint8)[0])
+    res.ok = res.fcs_ok
+    res.reason = "frame_ok" if res.ok else "crc32_fail"
+    return res

@@ -1,0 +1,112 @@
+"""JAX 802.11n HT 2x2 chain: TX vs golden model, RX loopback through MIMO
+channels (golden TX -> JAX RX and JAX TX -> JAX RX), batched pipeline."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from sora_tpu.golden import dot11n_np as g
+from sora_tpu.mac import frame as fr
+from sora_tpu.phy import dot11n_common as N
+from sora_tpu.phy.dot11n import rx as jrx
+from sora_tpu.phy.dot11n import tx as jtx
+
+
+def _mimo_channel(rng):
+    while True:
+        H = (rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))) \
+            / np.sqrt(2.0)
+        if abs(np.linalg.det(H)) > 0.3:
+            return H
+
+
+def _through(H, tx, snr_db=None, rng=None, pad=80):
+    y = H @ np.asarray(tx)
+    y = np.concatenate([np.zeros((2, pad)), y, np.zeros((2, pad))], axis=1)
+    if rng is not None and snr_db is not None:
+        p = np.mean(np.abs(y) ** 2)
+        sigma = np.sqrt(p / (10 ** (snr_db / 10)) / 2)
+        y = y + sigma * (rng.normal(size=y.shape)
+                         + 1j * rng.normal(size=y.shape))
+    return y.astype(np.complex64)
+
+
+@pytest.mark.parametrize("mcs", [8, 10, 13])
+def test_jax_tx_matches_golden(rng, mcs):
+    psdu = fr.build_data_frame(bytes(rng.integers(0, 256, 48,
+                                                  dtype=np.uint8)), seq=1)
+    ref = g.modulate(psdu, mcs)
+    wav = np.asarray(jtx.modulate(
+        jnp.asarray(np.frombuffer(psdu, np.uint8))[None], mcs,
+        len(psdu)))[0]
+    assert wav.shape == ref.shape
+    assert np.max(np.abs(wav - ref)) < 2e-3
+
+
+@pytest.mark.parametrize("mcs", [8, 9, 11, 13, 15])
+def test_golden_tx_jax_rx_identity(rng, mcs):
+    psdu = fr.build_data_frame(bytes(rng.integers(0, 256, 60,
+                                                  dtype=np.uint8)), seq=2)
+    y = _through(np.eye(2), g.modulate(psdu, mcs))
+    res = jrx.demodulate(y)
+    assert res.ok, (mcs, res.reason)
+    assert res.mcs == mcs and res.psdu == psdu
+
+
+@pytest.mark.parametrize("mcs", [8, 12, 14])
+def test_random_mimo_channel_with_noise(rng, mcs):
+    psdu = fr.build_data_frame(bytes(rng.integers(0, 256, 80,
+                                                  dtype=np.uint8)), seq=3)
+    H = _mimo_channel(rng)
+    y = _through(H, g.modulate(psdu, mcs), snr_db=35, rng=rng)
+    res = jrx.demodulate(y, expect_mcs=mcs)
+    assert res.ok, (mcs, res.reason)
+    assert res.psdu == psdu
+
+
+def test_jax_tx_jax_rx_loopback(rng):
+    mcs = 11
+    psdu = fr.build_data_frame(bytes(rng.integers(0, 256, 64,
+                                                  dtype=np.uint8)), seq=4)
+    wav = np.asarray(jtx.modulate(
+        jnp.asarray(np.frombuffer(psdu, np.uint8))[None], mcs,
+        len(psdu)))[0]
+    H = _mimo_channel(rng)
+    res = jrx.demodulate(_through(H, wav, snr_db=30, rng=rng))
+    assert res.ok, res.reason
+    assert res.mcs == mcs and res.psdu == psdu
+
+
+def test_batched_pipeline(rng):
+    """The known-MCS batched pipeline: B frames, per-frame channels."""
+    mcs, B, Nsamp, plen = 9, 4, 3600, 72
+    x = np.zeros((B, 2, Nsamp), np.complex64)
+    psdus = []
+    for i in range(B):
+        psdu = fr.build_data_frame(bytes(rng.integers(0, 256, plen - 28,
+                                                      dtype=np.uint8)),
+                                   seq=i)
+        psdus.append(psdu)
+        wav = _through(_mimo_channel(rng), g.modulate(psdu, mcs),
+                       snr_db=32, rng=rng, pad=40 + 13 * i)
+        x[i, :, :wav.shape[1]] = wav[:, :Nsamp]
+    out = jrx.rx_pipeline(jnp.asarray(x), mcs, max_psdu=256)
+    ok = np.asarray(out["ok"])
+    assert ok.all(), (ok, np.asarray(out["mcs"]), np.asarray(out["length"]))
+    for i, psdu in enumerate(psdus):
+        assert bytes(np.asarray(out["psdu"])[i][: len(psdu)]) == psdu
+
+
+def test_noise_rejected(rng):
+    y = 0.1 * (rng.normal(size=(2, 4000))
+               + 1j * rng.normal(size=(2, 4000))).astype(np.complex64)
+    res = jrx.demodulate(y)
+    assert not res.ok
+
+
+def test_truncated(rng):
+    psdu = fr.build_data_frame(b"x" * 200, seq=5)
+    y = _through(np.eye(2), g.modulate(psdu, 8))[:, :1400]
+    res = jrx.demodulate(y)
+    assert not res.ok
