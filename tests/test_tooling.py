@@ -1,0 +1,115 @@
+"""Observability + verification tooling: trace channels (DbgPlot
+analogue), MacStopwatch real-time profiler, HwVeri measurements."""
+
+import numpy as np
+import pytest
+
+from sora_tpu.util import hwveri
+from sora_tpu.util.stopwatch import MacStopwatch
+from sora_tpu.util.trace import TraceReader, TraceWriter
+
+
+def test_trace_roundtrip(tmp_path):
+    p = str(tmp_path / "t.dbg")
+    w = TraceWriter(p, {
+        "snr": ("line", 4, 8),
+        "const": ("dots", 6, 4),
+        "spec": ("spectrum", 16, 2),
+        "mac": ("text", 0, 4)})
+    for i in range(3):
+        w.plot_line("snr", [i, i + 1, i + 2, i + 3])
+    w.plot_dots("const", np.arange(6) * (1 + 1j))
+    w.plot_spectrum("spec", np.linspace(-90, 0, 16))
+    w.log("mac", "frame ok rate=54")
+    r = TraceReader(p)
+    snr = r.read("snr")
+    assert snr.shape == (3, 4) and snr[2, 0] == 2.0
+    dots = r.read("const")
+    assert dots.dtype == np.complex64 and dots[0, 5] == 5 + 5j
+    assert r.read("mac") == ["frame ok rate=54"]
+    assert r.kind("const") == "dots"
+    w.close(); r.close()
+
+
+def test_trace_ring_wraps(tmp_path):
+    p = str(tmp_path / "t.dbg")
+    w = TraceWriter(p, {"v": ("line", 1, 4)})
+    for i in range(10):
+        w.plot_line("v", [float(i)])
+    r = TraceReader(p)
+    got = r.read("v")[:, 0].tolist()
+    assert got == [6.0, 7.0, 8.0, 9.0]     # last `capacity`, oldest first
+    w.close(); r.close()
+
+
+def test_trace_live_attach(tmp_path):
+    """Reader attached before later writes still sees them (the
+    out-of-process viewer pattern)."""
+    p = str(tmp_path / "t.dbg")
+    w = TraceWriter(p, {"v": ("line", 1, 8)})
+    w.plot_line("v", [1.0])
+    r = TraceReader(p)
+    assert r.read("v").shape == (1, 1)
+    w.plot_line("v", [2.0])
+    assert r.read("v").shape == (2, 1)
+    w.close(); r.close()
+
+
+def test_stopwatch_ratios():
+    sw = MacStopwatch(sample_rate=20e6)
+    sw.add(20000, 0.0005)      # 1 ms of signal in 0.5 ms -> ratio 0.5
+    sw.add(20000, 0.002)       # ratio 2.0
+    rep = sw.report()
+    assert rep.segments == 2
+    assert rep.avg_ratio == pytest.approx(1.25)
+    assert rep.max_ratio == pytest.approx(2.0)
+    assert rep.frac_over == pytest.approx(0.5)
+    assert not rep.realtime
+    assert "50.0% segments over" in str(rep)
+
+
+def test_stopwatch_context():
+    sw = MacStopwatch(sample_rate=20e6)
+    with sw.segment(200000):
+        pass
+    assert sw.report().avg_ratio < 1.0
+
+
+def _tone(fs, f, n, amp=0.5, snr_db=None, rng=None):
+    t = np.arange(n) / fs
+    x = amp * np.exp(2j * np.pi * f * t)
+    if snr_db is not None:
+        sigma = amp / np.sqrt(2 * 10 ** (snr_db / 10))
+        x = x + sigma * (rng.normal(size=n) + 1j * rng.normal(size=n))
+    return x
+
+
+def test_sine_wave_test(rng):
+    x = _tone(20e6, 1.25e6, 8192, snr_db=40, rng=rng) + 0.1
+    rep = hwveri.sine_wave_test(x, 20e6)
+    assert rep.ok
+    assert rep.freq_hz == pytest.approx(1.25e6, rel=1e-3)
+    assert abs(rep.dc - 0.1) < 0.01
+    assert rep.amplitude == pytest.approx(0.5, rel=0.1)
+
+
+def test_snr_test(rng):
+    x = _tone(20e6, 3e6, 16384, snr_db=25, rng=rng)
+    snr = hwveri.snr_test(x, 20e6)
+    assert 20 < snr < 30
+
+
+def test_freq_offset(rng):
+    fs, f_nom, off = 20e6, 2e6, 3125.0
+    x = _tone(fs, f_nom + off, 65536, snr_db=35, rng=rng)
+    got = hwveri.measure_freq_offset(x, fs, f_nom)
+    assert got == pytest.approx(off, abs=20.0)
+
+
+def test_agc(rng):
+    x = _tone(20e6, 1e6, 4096, amp=0.01, snr_db=30, rng=rng)
+    r = hwveri.agc_select_gain(x, target_rms=0.25)
+    assert r.gain >= 16 and not r.clipped
+    loud = _tone(20e6, 1e6, 4096, amp=0.9)
+    r2 = hwveri.agc_select_gain(loud)
+    assert r2.gain == 1.0
