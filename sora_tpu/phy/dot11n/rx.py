@@ -207,15 +207,16 @@ def extract_symbols(x: jnp.ndarray, lts1: jnp.ndarray, cfo: jnp.ndarray,
     xd = jnp.einsum("bkij,bnkj->bnki", Hd_inv, Sd)            # (B,nsym,52,2)
     xpil = jnp.einsum("bkij,bnkj->bnki", Hp_inv, Sp)          # (B,nsym,4,2)
 
-    if True:
-        from sora_tpu.phy.dot11n.tx import _pilot_table
-        expect = jnp.asarray(_pilot_table(nsym))              # (nsym,2,4)
-        # xpil is (B, nsym, pilot, stream) -> align to (nsym, stream, pilot)
-        ph = jnp.angle(jnp.sum(
-            jnp.transpose(xpil, (0, 1, 3, 2))
-            * jnp.conj(expect.astype(jnp.complex64))[None],
-            axis=(-2, -1)))
-        xd = xd * jnp.exp(-1j * ph)[:, :, None, None]
+    # common phase tracking from the HT pilots (TPilotTrack_11n,
+    # pilot_11n.hpp:99)
+    from sora_tpu.phy.dot11n.tx import _pilot_table
+    expect = jnp.asarray(_pilot_table(nsym))                  # (nsym,2,4)
+    # xpil is (B, nsym, pilot, stream) -> align to (nsym, stream, pilot)
+    ph = jnp.angle(jnp.sum(
+        jnp.transpose(xpil, (0, 1, 3, 2))
+        * jnp.conj(expect.astype(jnp.complex64))[None],
+        axis=(-2, -1)))
+    xd = xd * jnp.exp(-1j * ph)[:, :, None, None]
     return sig_eq, xd, snr_db
 
 

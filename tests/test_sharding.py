@@ -47,6 +47,40 @@ def test_sharded_sync_matches_single(frames):
                                atol=1e-6)
 
 
+def test_sharded_sync_outputs_replicated(frames):
+    """synchronize_sharded runs with check_vma=False (varying-axis inference
+    can't see through the all_gather+argmax); this asserts the property that
+    flag would have checked — every device holding the same logical slice
+    holds identical values — so a wrong out_spec cannot silently corrupt."""
+    x, arr, psdus, rate = frames
+    mesh = psh.make_mesh()
+    xs = jax.device_put(jnp.asarray(x),
+                        jax.sharding.NamedSharding(
+                            mesh, jax.sharding.PartitionSpec("dp", "sp")))
+    lts1_s, cfo_s = psh.synchronize_sharded(xs, mesh)
+    for out in (lts1_s, cfo_s):
+        by_index = {}
+        for sh in out.addressable_shards:
+            key = str(sh.index)
+            got = np.asarray(sh.data)
+            if key in by_index:
+                np.testing.assert_array_equal(by_index[key], got)
+            else:
+                by_index[key] = got
+        assert len(by_index) >= 1
+
+
+def test_detect_only_separates_signal_from_noise(frames):
+    x, arr, psdus, rate = frames
+    det_sig, p_sig = jrx.detect_only(jnp.asarray(x))
+    noise = (np.random.default_rng(3).normal(size=x.shape)
+             + 1j * np.random.default_rng(4).normal(size=x.shape)
+             ).astype(np.complex64) * 0.1
+    det_n, p_n = jrx.detect_only(jnp.asarray(noise))
+    assert np.asarray(det_sig).min() > jrx.CS_DET_THRESHOLD
+    assert np.asarray(det_n).max() < jrx.CS_DET_THRESHOLD
+
+
 def test_sharded_pipeline_decodes(frames):
     x, arr, psdus, rate = frames
     mesh = psh.make_mesh()
