@@ -78,6 +78,21 @@ def fir(x: jnp.ndarray, taps: jnp.ndarray) -> jnp.ndarray:
     return correlate(xp, jnp.conj(taps[::-1]))
 
 
+def fir_centered(x: jnp.ndarray, taps: np.ndarray) -> jnp.ndarray:
+    """Zero-phase FIR over the last axis (group-delay compensated), same
+    length.  Static shifted-add accumulation: O(N) memory, ntaps VPU adds,
+    fully fused by XLA — the long-stream form (cf. correlate_stream)."""
+    t = np.asarray(taps)
+    half = (len(t) - 1) // 2
+    xp = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(half, len(t) - 1 - half)])
+    acc = jnp.zeros_like(x)
+    for k in range(len(t)):
+        if abs(complex(t[k])) < 1e-12:
+            continue
+        acc = acc + xp[..., k: k + x.shape[-1]] * t[k]
+    return acc
+
+
 def frame_blocks(x: jnp.ndarray, block: int, halo: int) -> jnp.ndarray:
     """(N,) -> (nblk, block + 2*halo) overlap-save view, zero padded.
 
@@ -98,11 +113,11 @@ def resample_poly(x: jnp.ndarray, up: int, down: int,
                   taps: np.ndarray) -> jnp.ndarray:
     """Rational-rate polyphase resampler (TUpsample40MTo44M /
     TDownSample44_40 analogue, sampling.hpp).  taps: prototype low-pass
-    designed at rate lcm; phases are gathered, MACs ride the MXU."""
-    ntaps = len(taps)
-    # zero-stuff by `up`, filter, take every `down`
+    designed at rate lcm.  Zero-phase: output sample k sits at input time
+    k*down/up, so chained resamples stay aligned."""
+    # zero-stuff by `up`, centered filter, take every `down`
     n = x.shape[-1]
     y = jnp.zeros(x.shape[:-1] + (n * up,), dtype=x.dtype)
     y = y.at[..., ::up].set(x)
-    f = fir(y, jnp.asarray(taps, dtype=jnp.float32))
+    f = fir_centered(y, np.asarray(taps, dtype=np.float32))
     return f[..., ::down] * up

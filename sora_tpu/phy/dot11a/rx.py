@@ -277,17 +277,27 @@ def decode_data(eq: jnp.ndarray, length: jnp.ndarray, rate_mbps: int):
 # =============================================================================
 
 
-@partial(jax.jit, static_argnames=("rate_mbps", "max_psdu"))
-def rx_pipeline(x: jnp.ndarray, rate_mbps: int, max_psdu: int = MAX_PSDU):
+@partial(jax.jit, static_argnames=("rate_mbps", "max_psdu", "input_rate"))
+def rx_pipeline(x: jnp.ndarray, rate_mbps: int, max_psdu: int = MAX_PSDU,
+                input_rate: str = "20m"):
     """Complete batched RX for a known rate: sync -> chanest/equalize ->
     SIGNAL -> data decode -> FCS.
 
-    x: (B, N) complex64 streams, one frame each.  Returns a dict with
-    psdu (B, MAX_PSDU) uint8, fcs_ok/sig_ok (B,) bool, length (B,) int32,
-    snr_db (B,) float32.  This is the "forward step" of the framework —
-    the analogue of the reference's MAC11a_Receive poll loop body
-    (mac.cpp:190-280), fully fused under one jit.
+    x: (B, N) complex64 streams, one frame each.  With
+    ``input_rate="40m"`` the streams are raw radio-rate samples (the dump
+    payload) and the in-chain front end (DC removal + halfband decimation,
+    sora_tpu.phy.frontend) runs on device first — matching the reference
+    graph which starts at TDownSample2 -> TDCRemoveEx
+    (fb11ademod_config.hpp:148-218).
+
+    Returns a dict with psdu (B, MAX_PSDU) uint8, fcs_ok/sig_ok (B,) bool,
+    length (B,) int32, snr_db (B,) float32.  This is the "forward step" of
+    the framework — the analogue of the reference's MAC11a_Receive poll
+    loop body (mac.cpp:190-280), fully fused under one jit.
     """
+    if input_rate == "40m":
+        from sora_tpu.phy import frontend as fe
+        x = fe.ofdm_frontend_40m(x)
     rate = C.RATES[rate_mbps]
     nsym = max_symbols(rate, max_psdu)
     lts1, cfo, det = synchronize(x)
@@ -324,10 +334,17 @@ class RxResult:
     _debug: dict = field(default_factory=dict)
 
 
-def demodulate(x, expect_rate: int | None = None) -> RxResult:
+def demodulate(x, expect_rate: int | None = None,
+               input_rate: str = "20m") -> RxResult:
     """Single-stream convenience wrapper (API-compatible with the golden
-    model).  Hot paths should use the batched stages directly."""
+    model).  Hot paths should use the batched stages directly.
+
+    ``input_rate="40m"`` accepts raw radio-rate samples (e.g. the untouched
+    ``load_dump`` payload) and runs the device front end first."""
     xb = jnp.asarray(np.asarray(x, dtype=np.complex64))[None, :]
+    if input_rate == "40m":
+        from sora_tpu.phy import frontend as fe
+        xb = fe.ofdm_frontend_40m(xb)
     res = RxResult()
     lts1, cfo, det = synchronize(xb)
     res.start = int(lts1[0])
@@ -355,7 +372,7 @@ def demodulate(x, expect_rate: int | None = None) -> RxResult:
         return res
     nsym = max_symbols(rate)
     nsym_actual = -(-(16 + 8 * res.length + 6) // rate.ndbps)
-    if len(x) < res.start + 128 + 80 * (nsym_actual + 1):
+    if xb.shape[1] < res.start + 128 + 80 * (nsym_actual + 1):
         res.reason = "truncated"
         return res
     eq, _ = extract_symbols(xb, lts1, cfo, nsym)

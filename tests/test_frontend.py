@@ -1,0 +1,116 @@
+"""In-chain sample-rate front end: 40 Msps OFDM path, 44/40 Msps DSSS
+paths, pulse shaping, resamplers (SURVEY items: samples.hpp, sampling.hpp,
+pulse.hpp, dc.hpp)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sora_tpu.golden import dot11a_np as g
+from sora_tpu.mac import frame as fr
+from sora_tpu.phy import frontend as fe
+from sora_tpu.phy.dot11a import rx as arx
+from sora_tpu.phy.dot11b import rx as brx
+from sora_tpu.phy.dot11b import tx as btx
+
+
+def _psdu(rng, n=80, seq=1):
+    return fr.build_data_frame(bytes(rng.integers(0, 256, n - 28,
+                                                  dtype=np.uint8)), seq=seq)
+
+
+def test_dc_remove_and_decimate_roundtrip(rng):
+    x = (rng.normal(size=(2, 4096)) + 1j * rng.normal(size=(2, 4096))
+         ).astype(np.complex64)
+    y = fe.ofdm_frontend_40m(jnp.asarray(x + (3.0 - 2.0j)))
+    got = np.asarray(y)
+    assert got.shape == (2, 2048)
+    assert abs(got.mean()) < 0.05                  # DC gone
+
+
+def test_ofdm_40m_loopback(rng):
+    """TX at 20 Msps -> halfband interpolate to 40 Msps -> add DC offset +
+    noise -> full RX with the on-device front end."""
+    psdu = _psdu(rng, seq=3)
+    wave = g.modulate(psdu, 24).astype(np.complex64)
+    x20 = np.concatenate([np.zeros(64), wave, np.zeros(64)]).astype(
+        np.complex64)
+    x40 = np.asarray(fe.upsample2(jnp.asarray(x20[None, :])))[0]
+    x40 = x40 + (0.21 - 0.13j)                     # hardware DC offset
+    x40 += (rng.normal(size=len(x40)) + 1j * rng.normal(size=len(x40))
+            ).astype(np.complex64) * 0.02
+    res = arx.demodulate(x40, input_rate="40m")
+    assert res.ok, res.reason
+    assert res.psdu == psdu
+
+
+def test_ofdm_40m_batched_pipeline(rng):
+    psdu = _psdu(rng, seq=4)
+    wave = g.modulate(psdu, 12).astype(np.complex64)
+    B, N40 = 3, 8192
+    x40 = np.zeros((B, N40), np.complex64)
+    w40 = np.asarray(fe.upsample2(jnp.asarray(wave[None, :])))[0]
+    for i in range(B):
+        off = 100 + 57 * i
+        x40[i, off: off + len(w40)] = w40
+    x40 += 0.1 + 0.05j
+    x40 += (rng.normal(size=x40.shape) + 1j * rng.normal(size=x40.shape)
+            ).astype(np.complex64) * 0.02
+    out = arx.rx_pipeline(jnp.asarray(x40), 12, max_psdu=128,
+                          input_rate="40m")
+    assert np.asarray(out["ok"]).all()
+    got = np.asarray(out["psdu"])
+    for i in range(B):
+        assert bytes(got[i][: len(psdu)]) == psdu
+
+
+@pytest.mark.parametrize("rate", [1, 2, 5.5, 11])
+def test_dsss_44msps_interop_loopback(rate, rng):
+    """11b chips -> RRC pulse shape @44 Msps -> matched filter + phase
+    select -> chips -> decode (TPulseShaper/TMatchFilter/TSymTiming path)."""
+    psdu = _psdu(rng, n=44, seq=5)
+    arr = np.frombuffer(psdu, np.uint8)[None, :]
+    chips = np.asarray(btx.modulate(jnp.asarray(arr), rate, len(psdu)))[0]
+    pad = np.zeros(33, np.complex64)
+    tx_chips = np.concatenate([pad, chips, pad]).astype(np.complex64)
+    x44 = np.asarray(fe.pulse_shape_11b(jnp.asarray(tx_chips[None, :])))[0]
+    x44 = x44 + (0.05 - 0.02j)
+    x44 += (rng.normal(size=len(x44)) + 1j * rng.normal(size=len(x44))
+            ).astype(np.complex64) * 0.01
+    rx_chips = np.asarray(fe.chip_frontend_44m(jnp.asarray(x44[None, :])))
+    res = brx.demodulate(rx_chips[0])
+    assert res.ok, (rate, res.reason)
+    assert res.psdu == psdu
+    assert res.rate_mbps == rate
+
+
+def test_dsss_40msps_resample_path(rng):
+    """Commercial-NIC interop direction: 44 Msps waveform observed by a
+    40 Msps radio -> 11/10 resample + matched filter -> decode."""
+    psdu = _psdu(rng, n=40, seq=6)
+    arr = np.frombuffer(psdu, np.uint8)[None, :]
+    chips = np.asarray(btx.modulate(jnp.asarray(arr), 2, len(psdu)))[0]
+    pad = np.zeros(33, np.complex64)
+    tx_chips = np.concatenate([pad, chips, pad]).astype(np.complex64)
+    x44 = np.asarray(fe.pulse_shape_11b(jnp.asarray(tx_chips[None, :])))[0]
+    x40 = np.array(fe.resample(jnp.asarray(x44[None, :]), 10, 11))[0]
+    x40 += (rng.normal(size=len(x40)) + 1j * rng.normal(size=len(x40))
+            ).astype(np.complex64) * 0.01
+    rx_chips = np.asarray(fe.chip_frontend_40m(jnp.asarray(x40[None, :])))
+    res = brx.demodulate(rx_chips[0])
+    assert res.ok, res.reason
+    assert res.psdu == psdu
+
+
+def test_resample_roundtrip_tone():
+    """A baseband tone survives 40 -> 44 -> 40 resampling."""
+    n = 2048
+    t = np.arange(n)
+    x = np.exp(2j * np.pi * 0.03 * t).astype(np.complex64)[None, :]
+    y = fe.resample(jnp.asarray(x), 11, 10)
+    z = np.asarray(fe.resample(y, 10, 11))[0]
+    m = min(len(z), n)
+    # ignore filter edges
+    sl = slice(256, m - 256)
+    err = np.abs(z[sl] - x[0, sl])
+    assert np.median(err) < 0.05

@@ -19,6 +19,22 @@ def test_jax_rx_decodes_capture(capture_20msps):
     assert res.psdu == gold.psdu
 
 
+def test_jax_rx_decodes_raw_capture():
+    """Raw 40 Msps dump payload straight into the chain: the DC removal and
+    2:1 decimation run on device (phy.frontend), no host preprocessing."""
+    from sora_tpu.io.dumpfile import load_dump
+    from tests.conftest import CAPTURE
+
+    raw = load_dump(CAPTURE)                       # untouched 40 Msps
+    res = jrx.demodulate(raw, input_rate="40m")
+    assert res.ok, res.reason
+    assert res.rate_mbps == 6
+    assert res.length == 1392
+    gold = g.demodulate(np.asarray(raw, np.complex128)[0::2]
+                        - np.mean(raw))
+    assert res.psdu == gold.psdu
+
+
 @pytest.mark.parametrize("rate", [6, 12, 24, 54])
 def test_jax_tx_matches_golden(rate, rng):
     psdu = fr.build_data_frame(bytes(rng.integers(0, 256, 60,
