@@ -23,7 +23,7 @@ frame-bearing sample streams, which is what fills the TPU.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -243,7 +243,17 @@ def decode_data(eq: jnp.ndarray, length: jnp.ndarray, rate_mbps: int):
     ab = jnp.zeros((B, 2 * t_steps), dtype=jnp.float32)
     ab = ab.at[:, jnp.asarray(_depuncture_indices(rate, t_steps))].set(flat)
     bits = dvit.decode_auto(ab.reshape(B, t_steps, 2), terminated=True)
-    # descramble: seed phase from the first 7 bits
+    psdu, fcs_ok = _finish_frame(bits, length, t_steps)
+    return psdu, fcs_ok, nbits
+
+
+def _finish_frame(bits: jnp.ndarray, length: jnp.ndarray, t_steps: int):
+    """Shared frame tail: descramble (seed phase from the first 7 bits),
+    pack PSDU bytes LSB-first, check the FCS on device.
+
+    bits: (B, t_steps) decoded data bits; length: (B,) PSDU byte counts.
+    Returns (psdu (B, MAX_PSDU) uint8, fcs_ok (B,) bool)."""
+    B = bits.shape[0]
     match = jnp.all(
         jnp.asarray(dscr._PHASES_J[None, :, :7]) == bits[:, None, :7],
         axis=-1)
@@ -269,7 +279,118 @@ def decode_data(eq: jnp.ndarray, length: jnp.ndarray, rate_mbps: int):
               | (fcs_bytes[:, 2] << 16) | (fcs_bytes[:, 3] << 24))
     fcs_ok = (body_crc == rx_fcs) & (length >= 4) & \
         (length <= jnp.uint32(MAX_PSDU))
-    return psdu, fcs_ok, nbits
+    return psdu, fcs_ok
+
+
+# =============================================================================
+# Mixed-rate batched decode (runtime rate dispatch)
+# =============================================================================
+#
+# The reference demuxes per frame at runtime through TBB11aRxRateSel
+# (PHY_11a.hpp:704-814) — a per-sample branch.  The TPU formulation keeps
+# one static program for ALL rates: demap every symbol under all four
+# modulations (cheap VPU work), concatenate per symbol, and turn
+# deinterleave + depuncture + modulation-select into ONE static gather
+# table per rate, indexed by each frame's parsed rate.  The trellis length
+# nsym(rate)*ndbps(rate) is within one symbol of the payload bit count for
+# every rate, so a single Viterbi call (padded with erasures) decodes the
+# whole mixed batch.
+
+_RATE_LIST = sorted(C.RATES)                       # mbps, idx 0..7
+_MOD_ORDER = ("bpsk", "qpsk", "qam16", "qam64")
+_MOD_OFF = {"bpsk": 0, "qpsk": 48, "qam16": 144, "qam64": 336}
+_MOD_W = 624                                       # 48+96+192+288
+
+# SIGNAL rate_bits (4 bits) -> rate index, 0 for invalid patterns
+_BITS_TO_IDX = np.zeros(16, np.int32)
+for _i, _m in enumerate(_RATE_LIST):
+    _BITS_TO_IDX[C.RATES[_m].rate_bits] = _i
+
+
+@lru_cache(maxsize=None)
+def _auto_tables(max_psdu: int):
+    """Static per-rate gather tables for the mixed-rate decoder.
+
+    Returns (idx (8, T_max, 2) int32 — flat index into the per-frame
+    (nsym_max * 624) concatenated soft vector, -1 = erasure;
+    ndbps (8,) int32; nsym_max int; T_max int)."""
+    nsym_max = max(max_symbols(C.RATES[m], max_psdu) for m in _RATE_LIST)
+    t_max = max(max_symbols(C.RATES[m], max_psdu) * C.RATES[m].ndbps
+                for m in _RATE_LIST)
+    idx = np.full((len(_RATE_LIST), t_max, 2), -1, np.int64)
+    for ri, m in enumerate(_RATE_LIST):
+        rate = C.RATES[m]
+        nsym = max_symbols(rate, max_psdu)
+        t_steps = nsym * rate.ndbps
+        perm = C.interleaver_permutation(rate.ncbps, rate.nbpsc)
+        # position q in the coded stream of symbol s reads the demapped
+        # soft value at interleaved position perm[q]
+        pa, pb = C.PUNCTURE[(rate.num, rate.den)]
+        keep = np.stack([pa, pb], -1).reshape(-1)          # period (2p,)
+        period = len(keep)
+        keepf = np.tile(keep, -(-2 * t_steps // period))[: 2 * t_steps]
+        # transmitted (A,B) pairs, in order, map to consecutive coded
+        # positions p = 0.. of the punctured stream
+        tx_slots = np.flatnonzero(keepf)                   # (n_tx,)
+        p = np.arange(len(tx_slots))
+        s = p // rate.ncbps
+        q = p % rate.ncbps
+        flat = s * _MOD_W + _MOD_OFF[rate.modulation] + perm[q]
+        ab = idx[ri].reshape(-1)
+        ab[tx_slots] = flat
+    return (idx.astype(np.int32),
+            np.array([C.RATES[m].ndbps for m in _RATE_LIST], np.int32),
+            nsym_max, t_max)
+
+
+@partial(jax.jit, static_argnames=("max_psdu", "input_rate"))
+def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
+                     input_rate: str = "20m"):
+    """Complete batched RX with per-frame runtime rate dispatch: a batch
+    mixing all eight 802.11a rates decodes in ONE jit program.
+
+    x: (B, N) complex64 streams (raw 40 Msps with ``input_rate="40m"``).
+    Returns the rx_pipeline dict plus rate_mbps (B,) int32.
+    """
+    if input_rate == "40m":
+        from sora_tpu.phy import frontend as fe
+        x = fe.ofdm_frontend_40m(x)
+    idx_tab, ndbps_tab, nsym_max, t_max = _auto_tables(max_psdu)
+    B = x.shape[0]
+
+    lts1, cfo, det = synchronize(x)
+    eq, snr_db = extract_symbols(x, lts1, cfo, nsym_max)
+    rate_bits, length, sig_ok = decode_signal(eq[:, 0, :])
+    length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
+    rate_idx = jnp.asarray(_BITS_TO_IDX)[jnp.clip(rate_bits, 0, 15)]
+    known = jnp.isin(rate_bits, jnp.asarray(
+        [r.rate_bits for r in C.RATES.values()]))
+
+    data = eq[:, 1:, :]                                # (B, nsym_max, 48)
+    soft_cat = jnp.concatenate(
+        [dmap.demap_soft(data, m) for m in _MOD_ORDER], axis=-1)
+    # erase symbols beyond each frame's actual extent
+    ndbps = jnp.asarray(ndbps_tab)[rate_idx]           # (B,)
+    nbits = 16 + 8 * length + 6
+    nsym_actual = (nbits + ndbps - 1) // ndbps
+    symi = jnp.arange(nsym_max)[None, :, None]
+    soft_cat = jnp.where(symi < nsym_actual[:, None, None], soft_cat, 0.0)
+    soft_flat = soft_cat.reshape(B, nsym_max * _MOD_W)
+    # per-frame static gather: deinterleave + depuncture + mod select
+    fidx = jnp.asarray(idx_tab)[rate_idx].reshape(B, -1)   # (B, 2*T_max)
+    ab = jnp.take_along_axis(soft_flat, jnp.maximum(fidx, 0), axis=1)
+    ab = jnp.where(fidx >= 0, ab, 0.0).reshape(B, t_max, 2)
+    bits = dvit.decode_auto(ab, terminated=True)
+    psdu, fcs_ok = _finish_frame(bits, length, t_max)
+
+    cs_ok = det > CS_DET_THRESHOLD
+    ok = cs_ok & sig_ok & known & fcs_ok
+    mbps = jnp.asarray(np.array(_RATE_LIST, np.int32))[rate_idx]
+    return {"psdu": psdu, "fcs_ok": fcs_ok.astype(jnp.uint8),
+            "sig_ok": sig_ok.astype(jnp.uint8), "ok": ok.astype(jnp.uint8),
+            "cs_ok": cs_ok.astype(jnp.uint8), "det": det,
+            "rate_mbps": mbps, "length": length, "snr_db": snr_db,
+            "lts1": lts1, "cfo": cfo}
 
 
 # =============================================================================

@@ -98,3 +98,42 @@ def test_jax_batched_pipeline(rng):
     got = np.asarray(psdu)
     for i in range(B):
         assert bytes(got[i][: arr.shape[1]]) == psdus[i]
+
+
+def test_mixed_rate_batch_auto_dispatch(rng):
+    """All eight rates in ONE batch through one jit program — the batched
+    TBB11aRxRateSel analogue (PHY_11a.hpp:704-814)."""
+    import jax.numpy as jnp
+
+    rates = [6, 9, 12, 18, 24, 36, 48, 54]
+    psdus, waves = [], []
+    for i, rate in enumerate(rates):
+        psdu = fr.build_data_frame(bytes(rng.integers(
+            0, 256, 60 + 10 * i, dtype=np.uint8)), seq=i)
+        psdus.append(psdu)
+        waves.append(g.modulate(psdu, rate).astype(np.complex64))
+    N = max(len(w) for w in waves) + 256
+    x = np.zeros((len(rates), N), np.complex64)
+    for i, w in enumerate(waves):
+        off = 40 + 13 * i
+        x[i, off: off + len(w)] = w
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)
+          ).astype(np.complex64) * 0.02
+    out = jrx.rx_pipeline_auto(jnp.asarray(x), max_psdu=256)
+    ok = np.asarray(out["ok"])
+    assert ok.all(), (ok, np.asarray(out["rate_mbps"]),
+                      np.asarray(out["length"]))
+    assert list(np.asarray(out["rate_mbps"])) == rates
+    got = np.asarray(out["psdu"])
+    for i, psdu in enumerate(psdus):
+        assert bytes(got[i][: len(psdu)]) == psdu
+
+
+def test_auto_dispatch_rejects_noise(rng):
+    import jax.numpy as jnp
+
+    noise = (rng.normal(size=(2, 4096))
+             + 1j * rng.normal(size=(2, 4096))).astype(np.complex64)
+    out = jrx.rx_pipeline_auto(jnp.asarray(noise), max_psdu=256)
+    assert not np.asarray(out["ok"]).any()
+    assert not np.asarray(out["cs_ok"]).any()
