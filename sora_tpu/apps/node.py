@@ -1,0 +1,153 @@
+"""Live SDR node CLI — the umxsdrbrick analogue over replay/synthetic air.
+
+Boots the native RX ring, starts a paced producer (dump replay or
+synthetic multi-frame traffic), runs the StreamingNode poll loop (batched
+device decode + soft MAC + pre-staged ACKs), and prints the err_stat
+status page and the MACStopwatch real-time report
+(kernel/bb/umxsdrbrick/dot11main.cpp:365-457, mgmt.h:81,
+demod11/MACStopwatch.h:37-60).
+
+Examples
+--------
+Replay the golden capture, looped, paced at 40 Msps::
+
+    python -m sora_tpu.apps.node --dump \
+        /root/reference/kernel/test-data/fsample-6.dmp --loop --seconds 3
+
+Synthetic mixed-rate traffic at 20 Msps::
+
+    python -m sora_tpu.apps.node --synthetic 64 --mixed --pace 20e6
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import numpy as np
+
+
+def _log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def synthetic_traffic(n_frames: int, addr: bytes, mixed: bool,
+                      rate: int, gap: int = 900,
+                      seed: int = 7) -> np.ndarray:
+    """A 20 Msps stream of n_frames data frames addressed to `addr`,
+    rate-mixed if requested, separated by idle gaps."""
+    from sora_tpu.golden import dot11a_np as g
+    from sora_tpu.mac.frame import MacHeader, append_fcs
+
+    rng = np.random.default_rng(seed)
+    rates = [6, 9, 12, 18, 24, 36, 48, 54] if mixed else [rate]
+    pieces = []
+    for i in range(n_frames):
+        hdr = MacHeader(addr1=addr, addr2=b"\x02PEER0", addr3=addr,
+                        seq_ctrl=(i & 0xFFF) << 4)
+        payload = bytes(rng.integers(0, 256, 120, dtype=np.uint8))
+        psdu = append_fcs(hdr.pack() + payload)
+        w = g.modulate(psdu, rates[i % len(rates)]).astype(np.complex64)
+        pieces.append(np.zeros(gap, np.complex64))
+        pieces.append(w)
+    pieces.append(np.zeros(gap, np.complex64))
+    x = np.concatenate(pieces)
+    x += (rng.normal(size=len(x)) + 1j * rng.normal(size=len(x))
+          ).astype(np.complex64) * 0.01
+    return x
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(prog="sora_tpu.apps.node",
+                                description=__doc__.split("\n")[0])
+    p.add_argument("--dump", help="replay a Sora dump file into the ring")
+    p.add_argument("--loop", action="store_true",
+                   help="loop the replay source")
+    p.add_argument("--synthetic", type=int, metavar="N", default=0,
+                   help="generate N synthetic data frames instead")
+    p.add_argument("--mixed", action="store_true",
+                   help="synthetic traffic cycles all 8 rates")
+    p.add_argument("--rate", type=int, default=6,
+                   help="synthetic traffic rate (Mbps) when not --mixed")
+    p.add_argument("--pace", type=float, default=0.0,
+                   help="producer pacing in samples/s (0 = unpaced); "
+                        "dump replay defaults to its design rate")
+    p.add_argument("--msps", type=int, default=40, choices=(20, 40),
+                   help="dump sample rate (chooses the device front end)")
+    p.add_argument("--seconds", type=float, default=2.0,
+                   help="how long to run the node loop")
+    p.add_argument("--batch", type=int, default=0,
+                   help="windows per device batch (0 = auto)")
+    p.add_argument("--window", type=int, default=0,
+                   help="samples per window (0 = auto)")
+    p.add_argument("--status-every", type=float, default=0.0,
+                   help="print the status page every S seconds")
+    args = p.parse_args(argv)
+
+    from sora_tpu.runtime.native import RxRing
+    from sora_tpu.runtime.node import NodeConfig, StreamingNode, TxSink
+
+    addr = b"\x02SORA1"
+    if args.dump:
+        from sora_tpu.runtime.native import parse_dump
+        src = parse_dump(args.dump)
+        input_rate = "40m" if args.msps == 40 else "20m"
+        rate_sps = args.pace or float(args.msps) * 1e6
+        # one dump frame can span ~75k samples: size the window to hold it
+        # with overlap >= frame length so every frame lands fully inside
+        # at least one window
+        window = args.window or 1 << int(np.ceil(np.log2(len(src) + 4096)))
+        overlap = min(len(src) + 2048, window - window // 8)
+        batch = args.batch or 4
+        max_psdu = 1600
+    else:
+        if not args.synthetic:
+            p.error("need --dump or --synthetic N")
+        src = synthetic_traffic(args.synthetic, addr, args.mixed, args.rate)
+        input_rate = "20m"
+        rate_sps = args.pace
+        window = args.window or 8192
+        overlap = 5120           # >= the longest synthetic frame (~4400)
+        batch = args.batch or 8
+        max_psdu = 256
+
+    cfg = NodeConfig(window=window, batch=batch, overlap=overlap,
+                     input_rate=input_rate, max_psdu=max_psdu, addr=addr,
+                     sample_rate_sps=rate_sps or 20e6)
+    ring = RxRing(capacity=1 << 22)
+    node = StreamingNode(ring, cfg, tx_sink=TxSink())
+    _log(f"node: window={window} batch={batch} overlap={overlap} "
+         f"front_end={input_rate} pace={rate_sps/1e6:.1f} Msps "
+         f"src={len(src)} samples loop={bool(args.loop or args.dump)}")
+    _log("compiling device programs ...")
+    t0 = time.perf_counter()
+    node.warm_up()
+    _log(f"compiled in {time.perf_counter() - t0:.1f}s")
+
+    ring.start_replay(src, rate_sps=rate_sps,
+                      loop=bool(args.loop) or bool(args.dump))
+    t_end = time.perf_counter() + args.seconds
+    t_status = time.perf_counter() + (args.status_every or 1e9)
+    try:
+        while time.perf_counter() < t_end:
+            if not node.step():
+                time.sleep(0.001)
+            if time.perf_counter() >= t_status:
+                _log(node.stats.status_page())
+                t_status = time.perf_counter() + args.status_every
+    finally:
+        ring.stop()
+    node.flush()
+    print(node.report())
+    rep = node.sw.report()
+    ok = node.stats.frame_ok > 0 and rep.avg_ratio < 1.0
+    print(f"node {'OK' if ok else 'NOT-REALTIME-OR-IDLE'}: "
+          f"{node.stats.frame_ok} frames, {node.stats.acks_tx} acks, "
+          f"avg ratio {rep.avg_ratio:.3f}")
+    ring.close()
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

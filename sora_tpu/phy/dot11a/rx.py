@@ -81,7 +81,12 @@ def synchronize(x: jnp.ndarray):
     m = jnp.where(gate, jnp.abs(w) / (en + 1e-9), 0.0)
     # restrict the STS search so a full preamble+SIGNAL still fits
     valid = m[:, : max(1, N - 480)]
-    sts = jnp.argmax(valid, axis=-1)
+    # first-plateau selection: a window may hold several frames; lock to
+    # the EARLIEST preamble whose plateau reaches 90% of the window max
+    # (the reference's per-sample CCA fires on the first too,
+    # cca.hpp:165-230) — argmax on bool returns the first True
+    mx = jnp.max(valid, axis=-1, keepdims=True)
+    sts = jnp.argmax(valid >= 0.9 * mx, axis=-1)
     det = jnp.take_along_axis(valid, sts[:, None], axis=1)[:, 0]
     wsel = jnp.take_along_axis(w, sts[:, None], axis=1)[:, 0]
     cfo = jnp.angle(wsel).astype(jnp.float32) / 16.0
@@ -90,9 +95,11 @@ def synchronize(x: jnp.ndarray):
     y = x * ramp
     c = jnp.abs(df.correlate_stream(y, _LTS_SYM))
     c2 = c[:, :-64] + c[:, 64:]
-    # only accept LTS at/after the detected STS
+    # only accept the LTS of THIS frame: within [sts, sts + 512) — the
+    # preamble is 320 samples, so the first LTS repeat starts <= 480 in
     pos = jnp.arange(c2.shape[-1])[None, :]
-    c2 = jnp.where(pos >= sts[:, None], c2, 0.0)
+    in_range = (pos >= sts[:, None]) & (pos < sts[:, None] + 512)
+    c2 = jnp.where(in_range, c2, 0.0)
     lts1 = jnp.argmax(c2, axis=-1).astype(jnp.int32)
     return lts1, cfo, det
 
