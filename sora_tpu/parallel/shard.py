@@ -76,16 +76,26 @@ def synchronize_sharded(x: jnp.ndarray, mesh: Mesh):
         en_max = jax.lax.pmax(jnp.max(en, axis=1), "sp")
         gate = en > 0.05 * en_max[:, None]
         m = jnp.where(gate, jnp.abs(w) / (en + 1e-9), 0.0)
-        sts_loc = jnp.argmax(m, axis=1)
-        det = jnp.take_along_axis(m, sts_loc[:, None], 1)[:, 0]
-        wpk = jnp.take_along_axis(w, sts_loc[:, None], 1)[:, 0]
-        # candidates from every block -> replicated argmax
-        cand_det = jax.lax.all_gather(det, "sp")          # (nsp, B)
-        cand_idx = jax.lax.all_gather(sts_loc + sp_i * nloc, "sp")
-        cand_w = jax.lax.all_gather(wpk, "sp")
-        best = jnp.argmax(cand_det, axis=0)               # (B,)
-        sts = jnp.take_along_axis(cand_idx, best[None], 0)[0]
-        wsel = jnp.take_along_axis(cand_w, best[None], 0)[0]
+        # match the single-device first-plateau selection: the EARLIEST
+        # global offset whose metric reaches 90% of the global max, with
+        # offsets too close to the stream end excluded (a full
+        # preamble+SIGNAL must still fit)
+        nglob = nsp * nloc
+        gpos0 = sp_i * nloc + jnp.arange(nloc)[None, :]
+        m = jnp.where(gpos0 < max(1, nglob - 480), m, 0.0)
+        gmax = jax.lax.pmax(jnp.max(m, axis=1), "sp")     # (B,)
+        hit = m >= 0.9 * gmax[:, None]
+        first_loc = jnp.argmax(hit, axis=1)
+        has = jnp.any(hit, axis=1)
+        first_glob = jnp.where(has, sp_i * nloc + first_loc, nglob + 1)
+        sts = jax.lax.pmin(first_glob, "sp")              # (B,)
+        own = (sts >= sp_i * nloc) & (sts < (sp_i + 1) * nloc)
+        loc = jnp.clip(sts - sp_i * nloc, 0, nloc - 1)
+        det_l = jnp.where(own, jnp.take_along_axis(m, loc[:, None], 1)[:, 0],
+                          0.0)
+        w_l = jnp.where(own, jnp.take_along_axis(w, loc[:, None], 1)[:, 0],
+                        0.0)
+        wsel = jax.lax.psum(w_l, "sp")
         cfo = jnp.angle(wsel).astype(jnp.float32) / 16.0
         # LTS cross-correlation on the de-rotated block (+halo); the ramp
         # phase uses the *global* sample index so blocks line up
