@@ -469,7 +469,9 @@ def demodulate(x, expect_rate: int | None = None,
 
     ``input_rate="40m"`` accepts raw radio-rate samples (e.g. the untouched
     ``load_dump`` payload) and runs the device front end first."""
-    xb = jnp.asarray(np.asarray(x, dtype=np.complex64))[None, :]
+    from sora_tpu.util.xfer import device_complex
+
+    xb = device_complex(np.asarray(x, dtype=np.complex64)[None, :])
     if input_rate == "40m":
         from sora_tpu.phy import frontend as fe
         xb = fe.ofdm_frontend_40m(xb)

@@ -300,7 +300,14 @@ def decode_data(xd: jnp.ndarray, length: jnp.ndarray, mcs: int,
     ab = jnp.zeros((B, 2 * t_steps), dtype=jnp.float32)
     ab = ab.at[:, jnp.asarray(_depuncture_indices(m, t_steps))].set(flat)
     bits = dvit.decode_auto(ab.reshape(B, t_steps, 2), terminated=True)
+    return _finish_frame(bits, length, t_steps, max_psdu)
 
+
+def _finish_frame(bits: jnp.ndarray, length: jnp.ndarray, t_steps: int,
+                  max_psdu: int):
+    """Shared frame tail: descramble (seed phase from the first 7 bits),
+    pack PSDU bytes LSB-first, check the FCS on device."""
+    B = bits.shape[0]
     match = jnp.all(jnp.asarray(dscr._PHASES_J[None, :, :7])
                     == bits[:, None, :7], axis=-1)
     phase = jnp.argmax(match, axis=-1)
@@ -355,6 +362,108 @@ def rx_pipeline(x: jnp.ndarray, mcs: int, max_psdu: int = MAX_PSDU):
 
 
 # =============================================================================
+# Mixed-MCS batched decode (runtime MCS dispatch)
+# =============================================================================
+#
+# Mirrors phy.dot11a.rx.rx_pipeline_auto: demap every HT symbol under all
+# four modulations per spatial stream, concatenate, and collapse
+# stream-parse + deinterleave + depuncture + modulation-select into ONE
+# static gather table per MCS, indexed by each frame's HT-SIG MCS — the
+# batched TBB11nMRSelect (PHY_11n.hpp:290).
+
+_MCS_LIST = sorted(N.MCS)                          # 8..15, idx 0..7
+_MOD_ORDER = ("bpsk", "qpsk", "qam16", "qam64")
+_MOD_OFF_N = {"bpsk": 0, "qpsk": 52, "qam16": 156, "qam64": 364}
+_STREAM_W = 676                                    # 52+104+208+312
+
+
+def _auto_tables_n(max_psdu: int):
+    """(idx (8, T_max, 2) int32 into the per-frame (nsym_max * 1352)
+    soft vector, -1 = erasure; ndbps (8,); nsym_max; T_max)."""
+    nsym_max = max(max_symbols(mc, max_psdu) for mc in _MCS_LIST)
+    t_max = max(max_symbols(mc, max_psdu) * N.MCS[mc].ndbps
+                for mc in _MCS_LIST)
+    sym_w = 2 * _STREAM_W
+    idx = np.full((len(_MCS_LIST), t_max, 2), -1, np.int64)
+    for ri, mc in enumerate(_MCS_LIST):
+        m = N.MCS[mc]
+        nsym = max_symbols(mc, max_psdu)
+        t_steps = nsym * m.ndbps
+        ncbps = 2 * m.ncbpss
+        sp = N.stream_parse_indices(ncbps, m.nbpsc)        # (2, ncbpss)
+        inv_stream = np.zeros(ncbps, np.int64)
+        inv_pos = np.zeros(ncbps, np.int64)
+        for i in range(2):
+            inv_stream[sp[i]] = i
+            inv_pos[sp[i]] = np.arange(m.ncbpss)
+        perms = [N.ht_interleaver_permutation(m.nbpsc, i) for i in range(2)]
+        pa, pb = N.puncture_pattern(m.num, m.den)
+        keep = np.stack([pa, pb], -1).reshape(-1)
+        keepf = np.tile(keep, -(-2 * t_steps // len(keep)))[: 2 * t_steps]
+        tx_slots = np.flatnonzero(keepf)
+        p = np.arange(len(tx_slots))
+        s = p // ncbps
+        q = p % ncbps
+        i_s = inv_stream[q]
+        k = inv_pos[q]
+        perm2 = np.stack(perms)                            # (2, ncbpss)
+        flat = (s * sym_w + i_s * _STREAM_W + _MOD_OFF_N[m.modulation]
+                + perm2[i_s, k])
+        ab = idx[ri].reshape(-1)
+        ab[tx_slots] = flat
+    return (idx.astype(np.int32),
+            np.array([N.MCS[mc].ndbps for mc in _MCS_LIST], np.int32),
+            nsym_max, t_max)
+
+
+@partial(jax.jit, static_argnames=("max_psdu",))
+def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU):
+    """Complete batched 2x2 HT RX with per-frame runtime MCS dispatch: a
+    batch mixing MCS 8-15 decodes in ONE jit program.
+
+    x: (B, 2, N) complex64.  Returns the rx_pipeline dict (mcs is the
+    per-frame parsed MCS).
+    """
+    idx_tab, ndbps_tab, nsym_max, t_max = _auto_tables_n(max_psdu)
+    B = x.shape[0]
+
+    lts1, cfo, det = synchronize(x)
+    sig_eq, xd, snr_db = extract_symbols(x, lts1, cfo, nsym_max)
+    lsig_ok = decode_lsig(sig_eq[:, 0])
+    mcs_rx, length, htsig_ok = decode_htsig(sig_eq[:, 1:])
+    length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
+    known = (mcs_rx >= _MCS_LIST[0]) & (mcs_rx <= _MCS_LIST[-1])
+    mcs_idx = jnp.clip(mcs_rx - _MCS_LIST[0], 0, len(_MCS_LIST) - 1)
+
+    # demap all modulations per spatial stream, concat per symbol
+    streams = []
+    for i in range(2):
+        streams.append(jnp.concatenate(
+            [dmap.demap_soft(xd[:, :, :, i], mod) for mod in _MOD_ORDER],
+            axis=-1))                              # (B, nsym, 676)
+    soft_cat = jnp.stack(streams, axis=2)          # (B, nsym, 2, 676)
+    ndbps = jnp.asarray(ndbps_tab)[mcs_idx]
+    nbits = 16 + 8 * length + 6
+    nsym_actual = (nbits + ndbps - 1) // ndbps
+    symi = jnp.arange(nsym_max)[None, :, None, None]
+    soft_cat = jnp.where(symi < nsym_actual[:, None, None, None],
+                         soft_cat, 0.0)
+    soft_flat = soft_cat.reshape(B, nsym_max * 2 * _STREAM_W)
+    fidx = jnp.asarray(idx_tab)[mcs_idx].reshape(B, -1)
+    ab = jnp.take_along_axis(soft_flat, jnp.maximum(fidx, 0), axis=1)
+    ab = jnp.where(fidx >= 0, ab, 0.0).reshape(B, t_max, 2)
+    bits = dvit.decode_auto(ab, terminated=True)
+    psdu, fcs_ok = _finish_frame(bits, length, t_max, max_psdu)
+
+    sig_ok = lsig_ok & htsig_ok
+    ok = sig_ok & known & fcs_ok
+    return {"psdu": psdu, "fcs_ok": fcs_ok.astype(jnp.uint8),
+            "sig_ok": sig_ok.astype(jnp.uint8), "ok": ok.astype(jnp.uint8),
+            "mcs": mcs_rx.astype(jnp.int32), "length": length,
+            "snr_db": snr_db, "lts1": lts1, "cfo": cfo, "det": det}
+
+
+# =============================================================================
 # Host-facing API
 # =============================================================================
 
@@ -376,7 +485,9 @@ class RxResult:
 def demodulate(x, expect_mcs: int | None = None) -> RxResult:
     """Single-frame convenience wrapper (API-compatible with the golden
     model's demodulate).  x: (2, nsamples) at 20 Msps."""
-    xb = jnp.asarray(np.asarray(x, dtype=np.complex64))[None]
+    from sora_tpu.util.xfer import device_complex
+
+    xb = device_complex(np.asarray(x, dtype=np.complex64)[None])
     res = RxResult()
     if xb.ndim != 3 or xb.shape[1] != 2 or xb.shape[2] < 900:
         return res

@@ -114,3 +114,25 @@ def test_resample_roundtrip_tone():
     sl = slice(256, m - 256)
     err = np.abs(z[sl] - x[0, sl])
     assert np.median(err) < 0.05
+
+
+def test_54mbps_golden_dump_roundtrip(tmp_path, rng):
+    """Generate a 54 Mbps (64-QAM) capture in the RCB 14-bit dump format
+    at 40 Msps, then decode it through the raw path — extends the capture
+    corpus beyond the checked-in 6 Mbps fixture (SURVEY §4 item 1)."""
+    from sora_tpu.io.dumpfile import load_dump, save_dump
+
+    psdu = _psdu(rng, n=300, seq=9)
+    wave = g.modulate(psdu, 54).astype(np.complex64)
+    x20 = np.concatenate([np.zeros(80), wave, np.zeros(80)]).astype(
+        np.complex64)
+    x40 = np.asarray(fe.upsample2(jnp.asarray(x20[None, :])))[0]
+    # scale into the 14-bit ADC range and add a DC offset like real HW
+    x40 = x40 * (2200.0 / np.abs(x40).max()) + (60.0 - 35.0j)
+    path = str(tmp_path / "fsample54.dmp")
+    save_dump(path, x40, bits=14)
+    raw = load_dump(path)                    # 14-bit sign-extend
+    res = arx.demodulate(raw, input_rate="40m")
+    assert res.ok, res.reason
+    assert res.rate_mbps == 54
+    assert res.psdu == psdu

@@ -110,3 +110,29 @@ def test_truncated(rng):
     y = _through(np.eye(2), g.modulate(psdu, 8))[:, :1400]
     res = jrx.demodulate(y)
     assert not res.ok
+
+
+def test_mixed_mcs_batch_auto_dispatch(rng):
+    """MCS 8-15 in ONE batch through one jit program — the batched
+    TBB11nMRSelect analogue (PHY_11n.hpp:290)."""
+    mcss = list(range(8, 16))
+    psdus, waves = [], []
+    for i, mcs in enumerate(mcss):
+        psdu = fr.build_data_frame(bytes(rng.integers(
+            0, 256, 40 + 8 * i, dtype=np.uint8)), seq=i)
+        psdus.append(psdu)
+        H = _mimo_channel(rng)
+        waves.append(_through(H, g.modulate(psdu, mcs), snr_db=28,
+                              rng=rng, pad=40 + 7 * i))
+    N_samp = max(w.shape[1] for w in waves) + 64
+    x = np.zeros((len(mcss), 2, N_samp), np.complex64)
+    for i, w in enumerate(waves):
+        x[i, :, : w.shape[1]] = w
+    out = jrx.rx_pipeline_auto(jnp.asarray(x), max_psdu=256)
+    ok = np.asarray(out["ok"])
+    assert ok.all(), (ok, np.asarray(out["mcs"]),
+                      np.asarray(out["length"]))
+    assert list(np.asarray(out["mcs"])) == mcss
+    got = np.asarray(out["psdu"])
+    for i, psdu in enumerate(psdus):
+        assert bytes(got[i][: len(psdu)]) == psdu

@@ -113,3 +113,47 @@ def test_agc(rng):
     loud = _tone(20e6, 1e6, 4096, amp=0.9)
     r2 = hwveri.agc_select_gain(loud)
     assert r2.gain == 1.0
+
+
+def test_render_sparkline_and_chart():
+    from sora_tpu.util.render import chart, constellation, sparkline
+
+    v = np.sin(np.linspace(0, 6.28, 200))
+    s = sparkline(v, width=40)
+    assert len(s) == 40
+    c = chart(v, width=40, height=6)
+    assert len(c.splitlines()) == 6
+    pts = np.asarray([1 + 1j, 1 - 1j, -1 + 1j, -1 - 1j] * 32,
+                     np.complex64)
+    g = constellation(pts, width=24, height=12)
+    assert "pts" in g
+
+
+def test_speanalyzer_tone(tmp_path, capsys):
+    from sora_tpu.apps import speanalyzer
+
+    rc = speanalyzer.main(["--tone", "3.2e6", "--msps", "20",
+                           "--trace", str(tmp_path / "t.trace")])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "+3.2" in out          # peak found at the tone frequency
+    assert "spectrum written" in out
+
+
+def test_plotview_renders_trace(tmp_path, capsys):
+    from sora_tpu.apps import plotview
+    from sora_tpu.util.trace import TraceWriter
+
+    path = str(tmp_path / "v.trace")
+    tw = TraceWriter(path, {"snr": ("line", 64, 16),
+                            "const": ("dots", 48, 8),
+                            "mac": ("text", 0, 8)})
+    tw.plot_line("snr", np.linspace(0, 20, 64))
+    tw.plot_dots("const", np.asarray([1 + 1j, -1 - 1j] * 24, np.complex64))
+    tw.log("mac", "frame_ok len=1392")
+    tw.close()
+    rc = plotview.main([path])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "== snr [line] ==" in out
+    assert "frame_ok len=1392" in out

@@ -1,0 +1,36 @@
+"""Hardware-gated parity tests: run the compiled (non-interpret) Pallas
+kernels on a real TPU when one is attached, via a subprocess that escapes
+the CPU-pinned pytest environment (conftest forces JAX_PLATFORMS=cpu)."""
+
+import os
+import subprocess
+import sys
+from pathlib import Path
+
+import pytest
+
+ROOT = Path(__file__).resolve().parents[1]
+
+
+def _tpu_env():
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)
+    flags = env.get("XLA_FLAGS", "")
+    env["XLA_FLAGS"] = " ".join(
+        f for f in flags.split()
+        if "xla_force_host_platform_device_count" not in f)
+    return env
+
+
+@pytest.mark.timeout(540)
+def test_pallas_compiled_parity_on_tpu():
+    """Non-interpret Pallas Viterbi + capture decode on hardware.  Skips
+    cleanly when no TPU is attached (exit code 2 from the tool)."""
+    proc = subprocess.run(
+        [sys.executable, str(ROOT / "tools" / "tpu_parity_check.py")],
+        env=_tpu_env(), capture_output=True, text=True, timeout=520)
+    tail = (proc.stdout + proc.stderr)[-2000:]
+    if proc.returncode == 2:
+        pytest.skip("no TPU backend available: " + tail.splitlines()[-1])
+    assert proc.returncode == 0, tail
+    assert "ALL PASS" in proc.stdout, tail
