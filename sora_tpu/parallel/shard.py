@@ -124,6 +124,115 @@ def synchronize_sharded(x: jnp.ndarray, mesh: Mesh):
     return fn(x)
 
 
+def synchronize_sharded_11n(x: jnp.ndarray, mesh: Mesh):
+    """Time-block-sharded 2x2 HT packet detection: antennas stay device-
+    local (the P5 stream axis), time blocks shard over ``sp`` with halo
+    exchange, detection statistics are antenna-summed exactly like the
+    single-device phy.dot11n.rx.synchronize (TCCA11n, cca_11n.hpp:7).
+
+    x: (B, 2, N) with B over ``dp``, antennas unsharded, N over ``sp``.
+    Returns (lts1, cfo) replicated over ``sp``.
+    """
+    from sora_tpu.phy.dot11n import rx as nrx
+
+    nsp = mesh.shape["sp"]
+
+    def local(xl):
+        sp_i = jax.lax.axis_index("sp")
+        Bl, A, nloc = xl.shape
+        perm = [(i, (i - 1) % nsp) for i in range(nsp)]
+        head = jax.lax.ppermute(xl[:, :, :_HALO], "sp", perm)
+        head = jnp.where(sp_i == nsp - 1, 0.0, 1.0) * head
+        xx = jnp.concatenate([xl, head], axis=2)     # (B, 2, nloc+halo)
+        xf = xx.reshape(Bl * A, -1)
+        ac = xf[:, 16:] * jnp.conj(xf[:, :-16])
+        w = df.moving_sum(ac, 64).reshape(Bl, A, -1).sum(1)[:, :nloc]
+        en = df.moving_sum(jnp.abs(xf[:, :-16]) ** 2, 64).astype(
+            jnp.float32).reshape(Bl, A, -1).sum(1)[:, :nloc]
+        en_max = jax.lax.pmax(jnp.max(en, axis=1), "sp")
+        gate = en > 0.05 * en_max[:, None]
+        m = jnp.where(gate, jnp.abs(w) / (en + 1e-9), 0.0)
+        nglob = nsp * nloc
+        gpos = sp_i * nloc + jnp.arange(nloc)[None, :]
+        m = jnp.where(gpos < max(1, nglob - 900), m, 0.0)
+        gmax = jax.lax.pmax(jnp.max(m, axis=1), "sp")
+        hit = m > 0.9 * gmax[:, None]
+        first_loc = jnp.argmax(hit, axis=1)
+        has = jnp.any(hit, axis=1)
+        first_glob = jnp.where(has, sp_i * nloc + first_loc, nglob + 1)
+        onset = jax.lax.pmin(first_glob, "sp")
+        sts = jnp.minimum(onset + 16, nglob - 1)     # plateau interior
+        own = (sts >= sp_i * nloc) & (sts < (sp_i + 1) * nloc)
+        loc = jnp.clip(sts - sp_i * nloc, 0, nloc - 1)
+        w_l = jnp.where(own, jnp.take_along_axis(w, loc[:, None], 1)[:, 0],
+                        0.0)
+        wsel = jax.lax.psum(w_l, "sp")
+        cfo = jnp.angle(wsel).astype(jnp.float32) / 16.0
+        gidx = (sp_i * nloc
+                + jnp.arange(xx.shape[2])).astype(jnp.float32)
+        y = (xx * jnp.exp(-1j * cfo[:, None, None] * gidx[None, None, :])
+             ).reshape(Bl * A, -1)
+        c = jnp.abs(df.correlate_stream(y, nrx._LTS_SYM)).reshape(
+            Bl, A, -1).sum(1)
+        c2 = (c[:, :-64] + c[:, 64:])[:, :nloc]
+        pos = sp_i * nloc + jnp.arange(nloc)[None, :]
+        inwin = (pos >= sts[:, None]) & (pos <= sts[:, None] + 320)
+        c2 = jnp.where(inwin, c2, 0.0)
+        lts_loc = jnp.argmax(c2, axis=1)
+        lval = jnp.take_along_axis(c2, lts_loc[:, None], 1)[:, 0]
+        cand_lv = jax.lax.all_gather(lval, "sp")
+        cand_li = jax.lax.all_gather(lts_loc + sp_i * nloc, "sp")
+        bl = jnp.argmax(cand_lv, axis=0)
+        lts1 = jnp.take_along_axis(cand_li, bl[None], 0)[0]
+        return lts1.astype(jnp.int32), cfo
+
+    fn = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P("dp", None, "sp"),
+        out_specs=(P("dp"), P("dp")),
+        check_vma=False,
+    )
+    return fn(x)
+
+
+def rx_pipeline_sharded_11n(x: jnp.ndarray, mesh: Mesh, mcs: int,
+                            max_psdu: int = 256):
+    """Full sharded 2x2 HT RX: (dp, antenna-local, sp) detection, then
+    MIMO decode resharded batch-parallel over every device — extends the
+    11a sharding to the 11n pipeline (fb11ndemod_config.hpp:142-206)."""
+    from sora_tpu.phy.dot11n import rx as nrx
+
+    spec = NamedSharding(mesh, P("dp", None, "sp"))
+    if isinstance(x, jax.Array) and x.committed:
+        xs = jax.device_put(x, spec)
+    else:
+        from sora_tpu.util.xfer import device_complex
+        xs = device_complex(x, NamedSharding(mesh, P("dp", None, "sp",
+                                                     None)))
+    lts1, cfo = synchronize_sharded_11n(xs, mesh)
+    all_axes = P(("dp", "sp"), None, None)
+    xd = jax.device_put(xs, NamedSharding(mesh, all_axes))
+    lts1_d = jax.device_put(lts1, NamedSharding(mesh, P(("dp", "sp"))))
+    cfo_d = jax.device_put(cfo, NamedSharding(mesh, P(("dp", "sp"))))
+
+    nsym = nrx.max_symbols(mcs, max_psdu)
+
+    @jax.jit
+    def decode(xb, l1, cf):
+        sig_eq, xdet, snr_db = nrx.extract_symbols(xb, l1, cf, nsym)
+        lsig_ok = nrx.decode_lsig(sig_eq[:, 0])
+        mcs_rx, length, htsig_ok = nrx.decode_htsig(sig_eq[:, 1:])
+        length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
+        psdu, fcs_ok = nrx.decode_data(xdet, length, mcs, max_psdu)
+        ok = lsig_ok & htsig_ok & (mcs_rx == mcs) & fcs_ok
+        return {"psdu": psdu, "ok": ok.astype(jnp.uint8),
+                "fcs_ok": fcs_ok.astype(jnp.uint8),
+                "mcs": mcs_rx.astype(jnp.int32),
+                "length": length, "snr_db": snr_db}
+
+    return decode(xd, lts1_d, cfo_d)
+
+
 def rx_pipeline_sharded(x: jnp.ndarray, mesh: Mesh, rate_mbps: int,
                         max_psdu: int = 256):
     """Full sharded RX: (dp, sp)-sharded detection, then frame decode

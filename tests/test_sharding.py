@@ -96,3 +96,45 @@ def test_rx_pipeline_single_device(frames):
     x, arr, psdus, rate = frames
     out = jrx.rx_pipeline(jnp.asarray(x), rate, max_psdu=128)
     assert np.asarray(out["ok"]).all()
+
+
+def test_sharded_11n_pipeline_decodes():
+    """2x2 HT frames through the (dp, antenna, sp) sharded path."""
+    from sora_tpu.golden import dot11n_np as gn
+
+    rng = np.random.default_rng(11)
+    B, mcs, N = 8, 9, 4096
+    x = np.zeros((B, 2, N), np.complex64)
+    psdus = []
+    for i in range(B):
+        psdu = fr.build_data_frame(bytes(rng.integers(
+            0, 256, 52, dtype=np.uint8)), seq=i)
+        psdus.append(psdu)
+        while True:
+            H = (rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+                 ) / np.sqrt(2.0)
+            if abs(np.linalg.det(H)) > 0.3:
+                break
+        w = H @ np.asarray(gn.modulate(psdu, mcs))
+        off = 30 + 11 * i
+        x[i, :, off: off + w.shape[1]] = w
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)
+          ).astype(np.complex64) * 0.01
+    mesh = psh.make_mesh()
+    out = psh.rx_pipeline_sharded_11n(jnp.asarray(x), mesh, mcs,
+                                      max_psdu=128)
+    ok = np.asarray(out["ok"])
+    assert ok.all(), (ok, np.asarray(out["mcs"]), np.asarray(out["length"]))
+    got = np.asarray(out["psdu"])
+    for i, psdu in enumerate(psdus):
+        assert bytes(got[i][: len(psdu)]) == psdu
+
+    # sharded sync agrees with the single-device 11n sync
+    from sora_tpu.phy.dot11n import rx as nrx
+    lts1_s, cfo_s = psh.synchronize_sharded_11n(
+        jax.device_put(jnp.asarray(x), jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("dp", None, "sp"))), mesh)
+    lts1, cfo, det = nrx.synchronize(jnp.asarray(x))
+    assert np.array_equal(np.asarray(lts1_s), np.asarray(lts1))
+    np.testing.assert_allclose(np.asarray(cfo_s), np.asarray(cfo),
+                               atol=1e-6)
