@@ -25,8 +25,9 @@ instead of a per-sample tracking loop.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -87,6 +88,7 @@ def _resample_taps(up: int, down: int, taps_per_phase: int = 10
 # =============================================================================
 
 
+@jax.jit
 def dc_remove(x: jnp.ndarray) -> jnp.ndarray:
     """Per-stream DC removal over the processing window — the block analogue
     of TDCRemoveEx/TDCEstimator's IIR tracker (dc.hpp:48-166): the offset is
@@ -98,6 +100,7 @@ def dc_remove(x: jnp.ndarray) -> jnp.ndarray:
 fir_centered = df.fir_centered
 
 
+@partial(jax.jit, static_argnames=("phase", "filtered"))
 def downsample2(x: jnp.ndarray, phase: int = 0,
                 filtered: bool = True) -> jnp.ndarray:
     """40 -> 20 Msps (TDownSample2, samples.hpp:11-47) with an optional
@@ -108,12 +111,14 @@ def downsample2(x: jnp.ndarray, phase: int = 0,
     return x[..., phase::2]
 
 
+@partial(jax.jit, static_argnames=("up", "down"))
 def resample(x: jnp.ndarray, up: int, down: int) -> jnp.ndarray:
     """Rational-rate resample via the polyphase prototype (TUpsample40MTo44M
     / TDownSample44_40, sampling.hpp:10-66)."""
     return df.resample_poly(x, up, down, _resample_taps(up, down))
 
 
+@jax.jit
 def upsample2(x: jnp.ndarray) -> jnp.ndarray:
     """20 -> 40 Msps halfband interpolation — the TX staging rate of the
     reference (its mod graphs emit 40 Msps waveforms for the RCB)."""
@@ -126,6 +131,7 @@ def upsample2(x: jnp.ndarray) -> jnp.ndarray:
 # ------------------------------- OFDM (11a/n) -------------------------------
 
 
+@partial(jax.jit, static_argnames=("phase",))
 def ofdm_frontend_40m(x40: jnp.ndarray, phase: int = 0) -> jnp.ndarray:
     """Raw 40 Msps RX samples -> DC-free 20 Msps stream for the 11a/11n
     chains.  This is the in-chain front end the reference runs as
@@ -139,6 +145,7 @@ def ofdm_frontend_40m(x40: jnp.ndarray, phase: int = 0) -> jnp.ndarray:
 _SPS44 = 4                 # 44 Msps / 11 MHz chips
 
 
+@jax.jit
 def chip_frontend_44m(x44: jnp.ndarray) -> jnp.ndarray:
     """44 Msps RX samples -> 11 Msps chips: DC removal, RRC matched filter,
     fold-energy decimation-phase selection (the vectorized TSymTiming,
@@ -157,6 +164,7 @@ def chip_frontend_44m(x44: jnp.ndarray) -> jnp.ndarray:
     return chips
 
 
+@jax.jit
 def chip_frontend_40m(x40: jnp.ndarray) -> jnp.ndarray:
     """40 Msps RX samples -> 11 Msps chips via 11/10 resample to 44 Msps
     then the 44 Msps chip front end (the 11b Sora<->Sora sampling mode,
@@ -164,6 +172,7 @@ def chip_frontend_40m(x40: jnp.ndarray) -> jnp.ndarray:
     return chip_frontend_44m(resample(x40, 11, 10))
 
 
+@partial(jax.jit, static_argnames=("sps",))
 def pulse_shape_11b(chips: jnp.ndarray, sps: int = _SPS44) -> jnp.ndarray:
     """11 Msps chips -> 44 Msps RRC pulse-shaped waveform (TPulseShaper,
     pulse.hpp:44-146) — the TX-side counterpart of chip_frontend_44m."""
