@@ -83,6 +83,9 @@ def main(argv=None) -> int:
                    help="samples per window (0 = auto)")
     p.add_argument("--status-every", type=float, default=0.0,
                    help="print the status page every S seconds")
+    p.add_argument("--config", default=None,
+                   help="NodeConfig JSON file (layered under env "
+                        "SORA_* and explicit flags; util/config.py)")
     args = p.parse_args(argv)
 
     from sora_tpu.runtime.native import RxRing
@@ -112,9 +115,12 @@ def main(argv=None) -> int:
         batch = args.batch or 8
         max_psdu = 256
 
-    cfg = NodeConfig(window=window, batch=batch, overlap=overlap,
-                     input_rate=input_rate, max_psdu=max_psdu, addr=addr,
-                     sample_rate_sps=rate_sps or 20e6)
+    from sora_tpu.util.config import load_config
+
+    cfg = load_config(NodeConfig, path=args.config, overrides=dict(
+        window=window, batch=batch, overlap=overlap,
+        input_rate=input_rate, max_psdu=max_psdu, addr=addr,
+        sample_rate_sps=rate_sps or 20e6))
     ring = RxRing(capacity=1 << 22)
     node = StreamingNode(ring, cfg, tx_sink=TxSink())
     _log(f"node: window={window} batch={batch} overlap={overlap} "

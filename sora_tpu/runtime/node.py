@@ -56,6 +56,7 @@ class NodeConfig:
     sample_rate_sps: float = 20e6
     detect_threshold: float = 0.6
     promiscuous: bool = False     # sniffer mode: log every frame, no ACKs
+    backlog_hwm: int = 0          # ring backlog watchdog (0 = auto)
 
 
 @dataclass
@@ -71,6 +72,7 @@ class ErrStats:
     not_for_us: int = 0
     acks_tx: int = 0
     ring_drops: int = 0
+    backlog_dropped: int = 0      # samples skipped by the watchdog
     ack_latency_s: list = field(default_factory=list)
 
     def status_page(self) -> str:
@@ -84,7 +86,8 @@ class ErrStats:
                  f" plcp_fail    {self.plcp_fail:8d}   crc_fail   "
                  f"{self.crc_fail:8d}",
                  f" not_for_us   {self.not_for_us:8d}   acks_tx    "
-                 f"{self.acks_tx:8d}"]
+                 f"{self.acks_tx:8d}",
+                 f" backlog_drop {self.backlog_dropped:8d}"]
         if self.ack_latency_s:
             a = np.asarray(self.ack_latency_s)
             lines.append(f" ack latency  avg {a.mean()*1e6:7.0f} us  "
@@ -140,6 +143,8 @@ class StreamingNode:
         self._jax = jax
         self._carry = np.zeros(0, np.complex64)
         self._abs_off = 0                   # stream position of carry[0]
+        self._backlog_hwm = (self.cfg.backlog_hwm
+                             or 8 * self.cfg.batch * self.cfg.window)
         self._pend: list[tuple[dict, list, float]] = []   # double buffer
         self._seen: dict[tuple[bytes, int], int] = {}     # dedup (hdr, pos)
         self._seen_order: list = []
@@ -209,10 +214,28 @@ class StreamingNode:
 
     # -- main loop -------------------------------------------------------------
 
+    def skip_backlog(self) -> int:
+        """Watchdog: when the consumer has fallen behind (ring backlog past
+        the high-water mark), drop buffered samples and resume at the live
+        edge — the reference's Seek(END_POS) backlog flush
+        (rxstream.hpp:56-64, mac.cpp:247-249).  Returns samples dropped."""
+        dropped = 0
+        avail = self.ring.available(self.vs)
+        while avail > self._backlog_hwm:
+            got = self.ring.read(self.vs, min(avail, 1 << 18))
+            dropped += len(got)
+            avail = self.ring.available(self.vs)
+        if dropped:
+            self._carry = np.zeros(0, np.complex64)
+            self._abs_off += dropped        # keep positions monotonic
+            self.stats.backlog_dropped += dropped
+        return dropped
+
     def step(self) -> bool:
         """One poll iteration: assemble a batch, CS-gate it, issue the
         decode asynchronously, retire the oldest in-flight batch.  Returns
         True if any work was done (the MAC11a_Receive loop body)."""
+        self.skip_backlog()
         nw = self._next_windows()
         if nw is None:
             self._retire(block=False)

@@ -116,3 +116,20 @@ def test_node_ack_waveform_decodes(node_setup, rng):
     res = arx.demodulate(xb)
     assert res.ok
     assert res.psdu[4:10] == PEER
+
+
+def test_node_backlog_watchdog(rng):
+    """When the consumer falls behind, the watchdog skips to the live edge
+    (the Seek(END_POS) backlog flush, rxstream.hpp:56-64)."""
+    ring = RxRing(capacity=1 << 20)
+    cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=256,
+                     addr=ADDR, backlog_hwm=32768)
+    node = StreamingNode(ring, cfg)
+    noise = (rng.normal(size=200_000) + 1j * rng.normal(size=200_000)
+             ).astype(np.complex64) * 0.03
+    ring.write(noise)
+    dropped = node.skip_backlog()
+    assert dropped > 0
+    assert node.stats.backlog_dropped == dropped
+    assert ring.available(node.vs) <= 32768
+    ring.close()

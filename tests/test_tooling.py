@@ -157,3 +157,29 @@ def test_plotview_renders_trace(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "== snr [line] ==" in out
     assert "frame_ok len=1392" in out
+
+
+def test_layered_config(tmp_path, monkeypatch):
+    """defaults < file < env < overrides (util/config.py — the
+    framework-level replacement for the reference's per-app option
+    tables, kernel/util/args/args.c)."""
+    from sora_tpu.runtime.node import NodeConfig
+    from sora_tpu.util.config import dump_config, load_config
+
+    f = tmp_path / "node.json"
+    f.write_text('{"window": 2048, "batch": 4, "ack_rate": 12}')
+    monkeypatch.setenv("SORA_BATCH", "16")
+    cfg = load_config(NodeConfig, path=str(f),
+                      overrides={"ack_rate": 24, "window": None})
+    assert cfg.window == 2048          # file layer
+    assert cfg.batch == 16             # env beats file
+    assert cfg.ack_rate == 24          # override beats env+file
+    assert cfg.max_psdu == 1600        # dataclass default survives
+    # round-trip through JSON keeps bytes fields
+    import json
+    d = json.loads(dump_config(cfg))
+    assert d["window"] == 2048
+
+    import pytest as _pytest
+    with _pytest.raises(KeyError):
+        load_config(NodeConfig, overrides={"nonsense": 1})
