@@ -96,7 +96,7 @@ def main() -> int:
           ).astype(np.complex64) * 0.02
     out = arx.rx_pipeline_auto(device_complex(x), max_psdu=256)
     okv = np.asarray(out["ok"])
-    mb = list(np.asarray(out["rate_mbps"]))
+    mb = [int(v) for v in np.asarray(out["rate_mbps"])]
     ok = okv.all() and mb == rates
     fails += not ok
     print(f"{'PASS' if ok else 'FAIL'}: mixed-rate auto pipeline on TPU "
