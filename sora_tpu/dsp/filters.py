@@ -62,9 +62,19 @@ def correlate_stream(x: jnp.ndarray, pattern: jnp.ndarray) -> jnp.ndarray:
 def moving_sum(x: jnp.ndarray, width: int) -> jnp.ndarray:
     """Sliding-window sum over the last axis, output length N - width + 1.
 
-    The CAccumulator/CMovingWindow analogue (dspalg.hpp:5-243), computed
-    with a cumulative sum (associative scan -> O(N) on VPU).
+    The CAccumulator/CMovingWindow analogue (dspalg.hpp:5-243).  Short
+    windows use a log2(width) doubling tree of shifted adds — fully
+    lane-parallel on the VPU, where a cumsum lowers to a sequential scan;
+    long windows fall back to the cumsum difference.
     """
+    if width <= 256 and (width & (width - 1)) == 0:
+        # doubling tree: after round k, acc[i] = sum x[i .. i+2^k)
+        acc = x
+        span = 1
+        while span < width:
+            acc = acc[..., : acc.shape[-1] - span] + acc[..., span:]
+            span *= 2
+        return acc
     c = jnp.cumsum(x, axis=-1)
     zero = jnp.zeros_like(c[..., :1])
     c = jnp.concatenate([zero, c], axis=-1)
