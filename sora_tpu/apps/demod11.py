@@ -55,17 +55,24 @@ def run_demod(args) -> int:
     from sora_tpu.util.stopwatch import MacStopwatch
 
     g, demod = _chains(args.std, args.chain)
+    raw40 = (args.chain == "jax" and args.std == "11a"
+             and args.msps == 40 and not args.host_frontend)
     if args.std == "11n":
         if len(args.infile) != 2:
             print("11n demod needs two --infile dumps (one per antenna)")
             return 2
         x = np.stack([_load(f, args.msps) for f in args.infile])
+    elif raw40:
+        # raw dump straight to the chain: DC removal + decimation run
+        # on device (phy.frontend), like the live node's feed
+        from sora_tpu.io.dumpfile import load_dump
+        x = load_dump(args.infile[0])
     else:
         x = _load(args.infile[0], args.msps)
     sw = MacStopwatch(sample_rate=20e6)
-    n = x.shape[-1]
+    n = x.shape[-1] // (2 if raw40 else 1)
     with sw.segment(n):
-        res = demod(x)
+        res = demod(x, input_rate="40m") if raw40 else demod(x)
     rate = getattr(res, "rate_mbps", getattr(res, "mcs", "?"))
     print(f"frame: {res.reason} rate={rate} len={res.length} "
           f"fcs_ok={res.fcs_ok}")
@@ -133,6 +140,9 @@ def main(argv=None) -> int:
                    help="dump sample rate (demod decimates to 20)")
     p.add_argument("--scale", type=float, default=2000.0,
                    help="TX amplitude in 14-bit dump units")
+    p.add_argument("--host-frontend", action="store_true",
+                   help="decimate/DC-remove on the host instead of the "
+                        "on-device front end (jax 11a 40 Msps only)")
     args = p.parse_args(argv)
     if args.mode == "demod":
         if not args.infile:

@@ -176,14 +176,16 @@ class StreamingNode:
 
     def warm_up(self) -> None:
         """Compile both programs on a zero batch (dot11main's graph build,
-        before the radio starts)."""
+        before the radio starts).  Synchronizes with a host fetch — on the
+        axon backend only a device->host transfer truly blocks."""
         from sora_tpu.util.xfer import device_complex
 
         z = np.zeros((self.cfg.batch, self.cfg.window), np.complex64)
         zd = device_complex(z)
-        self._jax.block_until_ready(self._detect(zd))
+        det, power = self._detect(zd)
+        np.asarray(det)
         out = self._decode(zd)
-        self._jax.block_until_ready(list(out.values()))
+        np.asarray(out["ok"])
 
     # -- ring consumption ------------------------------------------------------
 

@@ -183,3 +183,31 @@ def test_layered_config(tmp_path, monkeypatch):
     import pytest as _pytest
     with _pytest.raises(KeyError):
         load_config(NodeConfig, overrides={"nonsense": 1})
+
+
+def test_demod11_cli_roundtrip(tmp_path, capsys):
+    """mod -> dump -> demod through the CLI harness, golden and jax
+    chains, incl. the raw-40Msps on-device front-end path."""
+    from sora_tpu.apps import demod11
+
+    out = str(tmp_path / "w.dmp")
+    assert demod11.main(["--std", "11a", "--mode", "mod", "--rate", "12",
+                         "--payload", "cli roundtrip", "--outfile", out,
+                         ]) == 0
+    assert demod11.main(["--std", "11a", "--mode", "demod", "--chain",
+                         "golden", "--infile", out, "--msps", "20"]) == 0
+    assert demod11.main(["--std", "11a", "--mode", "demod", "--chain",
+                         "jax", "--infile", out, "--msps", "20"]) == 0
+    text = capsys.readouterr().out
+    assert text.count("frame_ok") >= 2
+    assert demod11.main(["--mode", "ack", "--rate", "24"]) == 0
+
+
+def test_demod11_raw40_device_frontend(capsys):
+    """Raw capture straight into the jax chain (no host preprocessing)."""
+    from sora_tpu.apps import demod11
+
+    rc = demod11.main(["--std", "11a", "--mode", "demod", "--chain", "jax",
+                       "--msps", "40"])
+    assert rc == 0
+    assert "frame_ok" in capsys.readouterr().out
