@@ -148,13 +148,13 @@ def main():
     log(f"  pallas viterbi (radix-2): {B*T/vdt/1e6:.1f} Mbit/s, "
         f"ber={ber:.1e}")
 
-    # mixed-rate auto dispatch path
-    xa, Na, _ = _saturated_batch(rate, 32, psdu_len, seed=3)
+    # mixed-rate auto dispatch path (runtime rate demux, same batch shape)
+    xa, Na, _ = _saturated_batch(rate, B, psdu_len, seed=3)
     xad = device_complex(xa)
     afn = lambda xb: jrx.rx_pipeline_auto(xb, max_psdu=max_psdu)
-    adt, aok = _amortized(afn, xad, "ok", reps=5)
-    log(f"  auto (mixed-rate) path: {32*Na/adt/1e6:.1f} Msamples/s, "
-        f"ok={int(aok.sum())}/32")
+    adt, aok = _amortized(afn, xad, "ok", reps=10)
+    log(f"  auto (mixed-rate) path: {B*Na/adt/1e6:.1f} Msamples/s, "
+        f"ok={int(aok.sum())}/{B}")
 
     print(json.dumps({
         "metric": "dot11a54_rx_throughput",

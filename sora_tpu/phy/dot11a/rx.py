@@ -315,37 +315,46 @@ for _i, _m in enumerate(_RATE_LIST):
 
 
 @lru_cache(maxsize=None)
-def _auto_tables(max_psdu: int):
-    """Static per-rate gather tables for the mixed-rate decoder.
+def _auto_tables(max_psdu: int, nsym_cap: int = 1 << 30):
+    """Static per-rate one-hot deinterleave+depuncture matrices for the
+    mixed-rate decoder.
 
-    Returns (idx (8, T_max, 2) int32 — flat index into the per-frame
-    (nsym_max * 624) concatenated soft vector, -1 = erasure;
-    ndbps (8,) int32; nsym_max int; T_max int)."""
-    nsym_max = max(max_symbols(C.RATES[m], max_psdu) for m in _RATE_LIST)
-    t_max = max(max_symbols(C.RATES[m], max_psdu) * C.RATES[m].ndbps
-                for m in _RATE_LIST)
-    idx = np.full((len(_RATE_LIST), t_max, 2), -1, np.int64)
+    ``nsym_cap`` bounds the per-rate symbol count by what the input window
+    can physically hold ((N - preamble - SIGNAL) // 80) — a frame needing
+    more symbols cannot decode from that window anyway, and without the
+    cap every batch pays the 6 Mbps worst case (~500 symbols of extract +
+    demap) regardless of window size.
+
+    Key TPU insight: 802.11a symbol boundaries align with puncture-period
+    boundaries for every rate, so deinterleave + depuncture + modulation
+    select is the SAME (624 -> 2*ndbps) linear map for every symbol.  That
+    turns the per-frame dynamic gather (near-scalar on TPU) into one
+    static one-hot matmul per rate on the MXU; punctured slots are
+    all-zero columns (erasures).
+
+    Returns (mats tuple of (624, 2*ndbps_r) float32; nsym (8,) int per-rate
+    symbol counts; ndbps (8,) int32; nsym_max int; T_max int)."""
+    nsyms = tuple(min(max_symbols(C.RATES[m], max_psdu), nsym_cap)
+                  for m in _RATE_LIST)
+    nsym_max = max(nsyms)
+    t_max = max(n * C.RATES[m].ndbps for n, m in zip(nsyms, _RATE_LIST))
+    mats = []
     for ri, m in enumerate(_RATE_LIST):
         rate = C.RATES[m]
-        nsym = max_symbols(rate, max_psdu)
-        t_steps = nsym * rate.ndbps
         perm = C.interleaver_permutation(rate.ncbps, rate.nbpsc)
-        # position q in the coded stream of symbol s reads the demapped
-        # soft value at interleaved position perm[q]
         pa, pb = C.PUNCTURE[(rate.num, rate.den)]
         keep = np.stack([pa, pb], -1).reshape(-1)          # period (2p,)
-        period = len(keep)
-        keepf = np.tile(keep, -(-2 * t_steps // period))[: 2 * t_steps]
-        # transmitted (A,B) pairs, in order, map to consecutive coded
-        # positions p = 0.. of the punctured stream
-        tx_slots = np.flatnonzero(keepf)                   # (n_tx,)
-        p = np.arange(len(tx_slots))
-        s = p // rate.ncbps
-        q = p % rate.ncbps
-        flat = s * _MOD_W + _MOD_OFF[rate.modulation] + perm[q]
-        ab = idx[ri].reshape(-1)
-        ab[tx_slots] = flat
-    return (idx.astype(np.int32),
+        keepf = np.tile(keep, -(-2 * rate.ndbps // len(keep)))
+        keepf = keepf[: 2 * rate.ndbps]
+        # transmitted (A,B) slot j of one symbol holds punctured-stream
+        # position q = rank of j among kept slots; it reads the demapped
+        # soft value at interleaved position perm[q] of its modulation
+        tx_slots = np.flatnonzero(keepf)                   # (ncbps,)
+        P = np.zeros((_MOD_W, 2 * rate.ndbps), np.float32)
+        P[_MOD_OFF[rate.modulation] + perm[np.arange(rate.ncbps)],
+          tx_slots] = 1.0
+        mats.append(P)
+    return (tuple(mats), nsyms,
             np.array([C.RATES[m].ndbps for m in _RATE_LIST], np.int32),
             nsym_max, t_max)
 
@@ -362,7 +371,10 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
     if input_rate == "40m":
         from sora_tpu.phy import frontend as fe
         x = fe.ofdm_frontend_40m(x)
-    idx_tab, ndbps_tab, nsym_max, t_max = _auto_tables(max_psdu)
+    # static window capacity: preamble (320) + SIGNAL (80) + data symbols
+    nsym_win = max(1, (int(x.shape[1]) - 208) // 80)
+    mats, nsyms, ndbps_tab, nsym_max, t_max = _auto_tables(max_psdu,
+                                                           nsym_win)
     B = x.shape[0]
 
     lts1, cfo, det = synchronize(x)
@@ -382,11 +394,19 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
     nsym_actual = (nbits + ndbps - 1) // ndbps
     symi = jnp.arange(nsym_max)[None, :, None]
     soft_cat = jnp.where(symi < nsym_actual[:, None, None], soft_cat, 0.0)
-    soft_flat = soft_cat.reshape(B, nsym_max * _MOD_W)
-    # per-frame static gather: deinterleave + depuncture + mod select
-    fidx = jnp.asarray(idx_tab)[rate_idx].reshape(B, -1)   # (B, 2*T_max)
-    ab = jnp.take_along_axis(soft_flat, jnp.maximum(fidx, 0), axis=1)
-    ab = jnp.where(fidx >= 0, ab, 0.0).reshape(B, t_max, 2)
+    # per-rate per-symbol one-hot matmul (MXU) replaces the dynamic
+    # gather; then a one-hot select picks each frame's parsed rate
+    ab_rs = []
+    for ri, m in enumerate(_RATE_LIST):
+        nd = C.RATES[m].ndbps
+        ab_r = jnp.einsum("bsj,jk->bsk", soft_cat[:, : nsyms[ri]],
+                          jnp.asarray(mats[ri]))
+        ab_r = ab_r.reshape(B, nsyms[ri] * nd, 2)
+        ab_rs.append(jnp.pad(
+            ab_r, ((0, 0), (0, t_max - nsyms[ri] * nd), (0, 0))))
+    onehot = (rate_idx[:, None]
+              == jnp.arange(len(_RATE_LIST))[None, :]).astype(jnp.float32)
+    ab = jnp.einsum("br,rbtc->btc", onehot, jnp.stack(ab_rs))
     bits = dvit.decode_auto(ab, terminated=True)
     psdu, fcs_ok = _finish_frame(bits, length, t_max)
 
@@ -427,7 +447,10 @@ def rx_pipeline(x: jnp.ndarray, rate_mbps: int, max_psdu: int = MAX_PSDU,
         from sora_tpu.phy import frontend as fe
         x = fe.ofdm_frontend_40m(x)
     rate = C.RATES[rate_mbps]
-    nsym = max_symbols(rate, max_psdu)
+    # cap the trellis at what the window can physically hold (see
+    # _auto_tables): longer frames cannot decode from this window anyway
+    nsym_win = max(1, (int(x.shape[1]) - 208) // 80)
+    nsym = min(max_symbols(rate, max_psdu), nsym_win)
     lts1, cfo, det = synchronize(x)
     eq, snr_db = extract_symbols(x, lts1, cfo, nsym)
     rate_bits, length, sig_ok = decode_signal(eq[:, 0, :])

@@ -24,7 +24,7 @@ Batch convention: x is (B, 2, N) — B frames, 2 RX antennas each.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -346,7 +346,8 @@ def rx_pipeline(x: jnp.ndarray, mcs: int, max_psdu: int = MAX_PSDU):
     x: (B, 2, N) complex64.  Returns dict with psdu (B, max_psdu) uint8,
     ok/fcs_ok/sig_ok (B,) uint8, mcs/length (B,) int32, snr_db, lts1, cfo.
     """
-    nsym = max_symbols(mcs, max_psdu)
+    nsym_win = max(1, (int(x.shape[-1]) - _OFF_DATA) // 80)
+    nsym = min(max_symbols(mcs, max_psdu), nsym_win)
     lts1, cfo, det = synchronize(x)
     sig_eq, xd, snr_db = extract_symbols(x, lts1, cfo, nsym)
     lsig_ok = decode_lsig(sig_eq[:, 0])
@@ -377,18 +378,30 @@ _MOD_OFF_N = {"bpsk": 0, "qpsk": 52, "qam16": 156, "qam64": 364}
 _STREAM_W = 676                                    # 52+104+208+312
 
 
-def _auto_tables_n(max_psdu: int):
-    """(idx (8, T_max, 2) int32 into the per-frame (nsym_max * 1352)
-    soft vector, -1 = erasure; ndbps (8,); nsym_max; T_max)."""
-    nsym_max = max(max_symbols(mc, max_psdu) for mc in _MCS_LIST)
-    t_max = max(max_symbols(mc, max_psdu) * N.MCS[mc].ndbps
-                for mc in _MCS_LIST)
+@lru_cache(maxsize=None)
+def _auto_tables_n(max_psdu: int, nsym_cap: int = 1 << 30):
+    """Static per-MCS one-hot matrices collapsing stream-parse +
+    deinterleave + depuncture + modulation-select for ONE HT symbol.
+
+    HT symbol boundaries align with puncture-period boundaries for every
+    MCS, so the map from a symbol's concatenated soft vector (2 streams x
+    676) to its (ndbps, 2) trellis slots is the same linear map for every
+    symbol — one static (1352 -> 2*ndbps) one-hot matmul per MCS on the
+    MXU instead of a per-frame dynamic gather (near-scalar on TPU).
+    Punctured slots are all-zero columns (erasures).  ``nsym_cap`` bounds
+    symbols by the input window's physical capacity (see
+    phy.dot11a.rx._auto_tables).
+
+    Returns (mats tuple of (1352, 2*ndbps) float32; nsym (8,) per-MCS
+    symbol counts; ndbps (8,) int32; nsym_max; T_max)."""
+    nsyms = tuple(min(max_symbols(mc, max_psdu), nsym_cap)
+                  for mc in _MCS_LIST)
+    nsym_max = max(nsyms)
+    t_max = max(n * N.MCS[mc].ndbps for n, mc in zip(nsyms, _MCS_LIST))
     sym_w = 2 * _STREAM_W
-    idx = np.full((len(_MCS_LIST), t_max, 2), -1, np.int64)
+    mats = []
     for ri, mc in enumerate(_MCS_LIST):
         m = N.MCS[mc]
-        nsym = max_symbols(mc, max_psdu)
-        t_steps = nsym * m.ndbps
         ncbps = 2 * m.ncbpss
         sp = N.stream_parse_indices(ncbps, m.nbpsc)        # (2, ncbpss)
         inv_stream = np.zeros(ncbps, np.int64)
@@ -396,22 +409,20 @@ def _auto_tables_n(max_psdu: int):
         for i in range(2):
             inv_stream[sp[i]] = i
             inv_pos[sp[i]] = np.arange(m.ncbpss)
-        perms = [N.ht_interleaver_permutation(m.nbpsc, i) for i in range(2)]
+        perm2 = np.stack([N.ht_interleaver_permutation(m.nbpsc, i)
+                          for i in range(2)])              # (2, ncbpss)
         pa, pb = N.puncture_pattern(m.num, m.den)
         keep = np.stack([pa, pb], -1).reshape(-1)
-        keepf = np.tile(keep, -(-2 * t_steps // len(keep)))[: 2 * t_steps]
-        tx_slots = np.flatnonzero(keepf)
-        p = np.arange(len(tx_slots))
-        s = p // ncbps
-        q = p % ncbps
+        keepf = np.tile(keep, -(-2 * m.ndbps // len(keep)))[: 2 * m.ndbps]
+        tx_slots = np.flatnonzero(keepf)                   # (ncbps,)
+        q = np.arange(ncbps)
         i_s = inv_stream[q]
         k = inv_pos[q]
-        perm2 = np.stack(perms)                            # (2, ncbpss)
-        flat = (s * sym_w + i_s * _STREAM_W + _MOD_OFF_N[m.modulation]
-                + perm2[i_s, k])
-        ab = idx[ri].reshape(-1)
-        ab[tx_slots] = flat
-    return (idx.astype(np.int32),
+        src = i_s * _STREAM_W + _MOD_OFF_N[m.modulation] + perm2[i_s, k]
+        P = np.zeros((sym_w, 2 * m.ndbps), np.float32)
+        P[src, tx_slots] = 1.0
+        mats.append(P)
+    return (tuple(mats), nsyms,
             np.array([N.MCS[mc].ndbps for mc in _MCS_LIST], np.int32),
             nsym_max, t_max)
 
@@ -424,7 +435,9 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU):
     x: (B, 2, N) complex64.  Returns the rx_pipeline dict (mcs is the
     per-frame parsed MCS).
     """
-    idx_tab, ndbps_tab, nsym_max, t_max = _auto_tables_n(max_psdu)
+    nsym_win = max(1, (int(x.shape[-1]) - _OFF_DATA) // 80)
+    mats, nsyms, ndbps_tab, nsym_max, t_max = _auto_tables_n(max_psdu,
+                                                             nsym_win)
     B = x.shape[0]
 
     lts1, cfo, det = synchronize(x)
@@ -448,10 +461,19 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU):
     symi = jnp.arange(nsym_max)[None, :, None, None]
     soft_cat = jnp.where(symi < nsym_actual[:, None, None, None],
                          soft_cat, 0.0)
-    soft_flat = soft_cat.reshape(B, nsym_max * 2 * _STREAM_W)
-    fidx = jnp.asarray(idx_tab)[mcs_idx].reshape(B, -1)
-    ab = jnp.take_along_axis(soft_flat, jnp.maximum(fidx, 0), axis=1)
-    ab = jnp.where(fidx >= 0, ab, 0.0).reshape(B, t_max, 2)
+    soft_sym = soft_cat.reshape(B, nsym_max, 2 * _STREAM_W)
+    # per-MCS per-symbol one-hot matmul (MXU) + one-hot MCS select
+    ab_rs = []
+    for ri, mc in enumerate(_MCS_LIST):
+        nd = N.MCS[mc].ndbps
+        ab_r = jnp.einsum("bsj,jk->bsk", soft_sym[:, : nsyms[ri]],
+                          jnp.asarray(mats[ri]))
+        ab_r = ab_r.reshape(B, nsyms[ri] * nd, 2)
+        ab_rs.append(jnp.pad(
+            ab_r, ((0, 0), (0, t_max - nsyms[ri] * nd), (0, 0))))
+    onehot = (mcs_idx[:, None]
+              == jnp.arange(len(_MCS_LIST))[None, :]).astype(jnp.float32)
+    ab = jnp.einsum("br,rbtc->btc", onehot, jnp.stack(ab_rs))
     bits = dvit.decode_auto(ab, terminated=True)
     psdu, fcs_ok = _finish_frame(bits, length, t_max, max_psdu)
 
