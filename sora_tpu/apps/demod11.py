@@ -144,6 +144,9 @@ def main(argv=None) -> int:
                    help="decimate/DC-remove on the host instead of the "
                         "on-device front end (jax 11a 40 Msps only)")
     args = p.parse_args(argv)
+
+    from sora_tpu.util.platform import setup_jax
+    setup_jax()          # honor JAX_PLATFORMS; persistent compile cache
     if args.mode == "demod":
         if not args.infile:
             args.infile = [

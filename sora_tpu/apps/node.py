@@ -88,6 +88,9 @@ def main(argv=None) -> int:
                         "SORA_* and explicit flags; util/config.py)")
     args = p.parse_args(argv)
 
+    from sora_tpu.util.platform import setup_jax
+    setup_jax()          # honor JAX_PLATFORMS; persistent compile cache
+
     from sora_tpu.runtime.native import RxRing
     from sora_tpu.runtime.node import NodeConfig, StreamingNode, TxSink
 

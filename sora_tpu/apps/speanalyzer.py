@@ -56,6 +56,9 @@ def main(argv=None) -> int:
     p.add_argument("--trace", help="append the spectrum to this trace file")
     args = p.parse_args(argv)
 
+    from sora_tpu.util.platform import setup_jax
+    setup_jax()          # honor JAX_PLATFORMS; persistent compile cache
+
     fs = args.msps * 1e6
     if args.dump:
         from sora_tpu.io.dumpfile import load_dump

@@ -129,3 +129,23 @@ def frame_type(psdu: bytes) -> int:
     if len(psdu) < 2:
         return -1
     return struct.unpack("<H", psdu[:2])[0] & 0x00FC
+
+
+# type (bits 2-3) / subtype (bits 4-7) display names — the sniffer's frame
+# table vocabulary (umxsniffer prints the same taxonomy)
+_TYPE_NAMES = {0: "mgmt", 1: "ctrl", 2: "data", 3: "ext"}
+_SUBTYPE_NAMES = {
+    (0, 0): "assoc-req", (0, 1): "assoc-resp", (0, 4): "probe-req",
+    (0, 5): "probe-resp", (0, 8): "beacon", (0, 10): "disassoc",
+    (0, 11): "auth", (0, 12): "deauth",
+    (1, 11): "rts", (1, 12): "cts", (1, 13): "ack",
+    (2, 0): "data", (2, 4): "null",
+}
+
+
+def fc_name(frame_control: int) -> str:
+    """Human-readable type/subtype of a frame_control value."""
+    t = (frame_control >> 2) & 0x3
+    st = (frame_control >> 4) & 0xF
+    return _SUBTYPE_NAMES.get((t, st),
+                              f"{_TYPE_NAMES.get(t, '?')}-st{st}")

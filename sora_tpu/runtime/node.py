@@ -118,7 +118,8 @@ class StreamingNode:
     def __init__(self, ring, cfg: NodeConfig | None = None,
                  tx_sink: TxSink | None = None,
                  modulate: Callable | None = None,
-                 on_payload: Callable | None = None):
+                 on_payload: Callable | None = None,
+                 on_frame: Callable | None = None):
         import jax
 
         self.ring = ring
@@ -128,6 +129,7 @@ class StreamingNode:
         self.stats = ErrStats()
         self.sw = MacStopwatch(sample_rate=self.cfg.sample_rate_sps)
         self.on_payload = on_payload
+        self.on_frame = on_frame     # sniffer tap: meta dict per rx frame
         self.rx_payloads: list[tuple[bytes, bytes]] = []
         if modulate is None:
             from sora_tpu.golden import dot11a_np as g
@@ -322,6 +324,12 @@ class StreamingNode:
             self._seen_order.append(key)
             if len(self._seen_order) > 4096:
                 self._seen.pop(self._seen_order.pop(0), None)
+            if self.on_frame is not None:
+                meta = {"psdu": psdu, "pos": pos}
+                for k in ("rate_mbps", "snr_db", "det", "cfo"):
+                    if k in out:
+                        meta[k] = float(out[k][i])
+                self.on_frame(meta)
             self._handle_frame(psdu, t_decode=time.perf_counter())
 
     def _handle_frame(self, psdu: bytes, t_decode: float) -> None:
