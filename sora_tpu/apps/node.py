@@ -33,27 +33,41 @@ def _log(*a):
 
 
 def synthetic_traffic(n_frames: int, addr: bytes, mixed: bool,
-                      rate: int, gap: int = 900,
-                      seed: int = 7) -> np.ndarray:
-    """A 20 Msps stream of n_frames data frames addressed to `addr`,
-    rate-mixed if requested, separated by idle gaps."""
-    from sora_tpu.golden import dot11a_np as g
+                      rate: float, gap: int = 900,
+                      seed: int = 7, phy: str = "a") -> np.ndarray:
+    """A stream of n_frames data frames addressed to `addr`, rate-mixed if
+    requested, separated by idle gaps.  phy "a": 20 Msps OFDM; "b":
+    11 Msps DSSS chips (gap is scaled up — the node hop must stay below
+    the inter-frame gap); "n": (2, N) 2x2 MIMO at 20 Msps."""
     from sora_tpu.mac.frame import MacHeader, append_fcs
 
     rng = np.random.default_rng(seed)
-    rates = [6, 9, 12, 18, 24, 36, 48, 54] if mixed else [rate]
+    if phy == "b":
+        from sora_tpu.golden import dot11b_np as gm
+        rates = [1, 2, 5.5, 11] if mixed else [rate]
+        gap = max(gap, 2400)
+    elif phy == "n":
+        from sora_tpu.golden import dot11n_np as gm
+        rates = list(range(8, 16)) if mixed else [int(rate)]
+        gap = max(gap, 3200)   # >= node hop: first-preamble lock decodes
+        #                        one frame per window
+    else:
+        from sora_tpu.golden import dot11a_np as gm
+        rates = [6, 9, 12, 18, 24, 36, 48, 54] if mixed else [int(rate)]
     pieces = []
     for i in range(n_frames):
         hdr = MacHeader(addr1=addr, addr2=b"\x02PEER0", addr3=addr,
                         seq_ctrl=(i & 0xFFF) << 4)
-        payload = bytes(rng.integers(0, 256, 120, dtype=np.uint8))
+        nb = 60 if phy == "b" else 120
+        payload = bytes(rng.integers(0, 256, nb, dtype=np.uint8))
         psdu = append_fcs(hdr.pack() + payload)
-        w = g.modulate(psdu, rates[i % len(rates)]).astype(np.complex64)
-        pieces.append(np.zeros(gap, np.complex64))
+        w = gm.modulate(psdu, rates[i % len(rates)]).astype(np.complex64)
+        z = np.zeros(w.shape[:-1] + (gap,), np.complex64)
+        pieces.append(z)
         pieces.append(w)
-    pieces.append(np.zeros(gap, np.complex64))
-    x = np.concatenate(pieces)
-    x += (rng.normal(size=len(x)) + 1j * rng.normal(size=len(x))
+    pieces.append(np.zeros(pieces[0].shape[:-1] + (gap,), np.complex64))
+    x = np.concatenate(pieces, axis=-1)
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)
           ).astype(np.complex64) * 0.01
     return x
 
@@ -61,6 +75,8 @@ def synthetic_traffic(n_frames: int, addr: bytes, mixed: bool,
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="sora_tpu.apps.node",
                                 description=__doc__.split("\n")[0])
+    p.add_argument("--phy", default="a", choices=("a", "b", "n"),
+                   help="PHY mode (umxsdrbrick -b / -n flags)")
     p.add_argument("--dump", help="replay a Sora dump file into the ring")
     p.add_argument("--loop", action="store_true",
                    help="loop the replay source")
@@ -68,8 +84,9 @@ def main(argv=None) -> int:
                    help="generate N synthetic data frames instead")
     p.add_argument("--mixed", action="store_true",
                    help="synthetic traffic cycles all 8 rates")
-    p.add_argument("--rate", type=int, default=6,
-                   help="synthetic traffic rate (Mbps) when not --mixed")
+    p.add_argument("--rate", type=float, default=0.0,
+                   help="synthetic traffic rate: Mbps (11a/11b) or MCS "
+                        "index (11n); 0 = per-phy default")
     p.add_argument("--pace", type=float, default=0.0,
                    help="producer pacing in samples/s (0 = unpaced); "
                         "dump replay defaults to its design rate")
@@ -95,7 +112,11 @@ def main(argv=None) -> int:
     from sora_tpu.runtime.node import NodeConfig, StreamingNode, TxSink
 
     addr = b"\x02SORA1"
+    rate = args.rate or {"a": 6, "b": 2, "n": 8}[args.phy]
     if args.dump:
+        if args.phy != "a":
+            p.error("--dump replay is the 11a capture path; use "
+                    "--synthetic with --phy b/n")
         from sora_tpu.runtime.native import parse_dump
         src = parse_dump(args.dump)
         input_rate = "40m" if args.msps == 40 else "20m"
@@ -110,21 +131,32 @@ def main(argv=None) -> int:
     else:
         if not args.synthetic:
             p.error("need --dump or --synthetic N")
-        src = synthetic_traffic(args.synthetic, addr, args.mixed, args.rate)
-        input_rate = "20m"
+        src = synthetic_traffic(args.synthetic, addr, args.mixed, rate,
+                                phy=args.phy)
+        input_rate = "11m" if args.phy == "b" else "20m"
         rate_sps = args.pace
-        window = args.window or 8192
-        overlap = 5120           # >= the longest synthetic frame (~4400)
+        # a 1 Mbps DSSS frame spans ~10k chips: the 11b window must hold
+        # a whole frame (one-frame-per-window decode)
+        window = args.window or (16384 if args.phy == "b" else 8192)
+        # hop must stay below the inter-frame gap (one frame decodes per
+        # window: first-burst lock); 11b gaps are >= 2400 chips
+        overlap = window - 2048 if args.phy == "b" else 5120
         batch = args.batch or 8
         max_psdu = 256
 
     from sora_tpu.util.config import load_config
 
+    default_sps = 11e6 if args.phy == "b" else 20e6
     cfg = load_config(NodeConfig, path=args.config, overrides=dict(
-        window=window, batch=batch, overlap=overlap,
+        phy=args.phy, window=window, batch=batch, overlap=overlap,
         input_rate=input_rate, max_psdu=max_psdu, addr=addr,
-        sample_rate_sps=rate_sps or 20e6))
-    ring = RxRing(capacity=1 << 22)
+        mcs=(None if args.mixed or args.phy != "n" else int(rate)),
+        sample_rate_sps=rate_sps or default_sps))
+    if args.phy == "n":
+        rings = [RxRing(capacity=1 << 22), RxRing(capacity=1 << 22)]
+    else:
+        rings = [RxRing(capacity=1 << 22)]
+    ring = rings if args.phy == "n" else rings[0]
     node = StreamingNode(ring, cfg, tx_sink=TxSink())
     _log(f"node: window={window} batch={batch} overlap={overlap} "
          f"front_end={input_rate} pace={rate_sps/1e6:.1f} Msps "
@@ -134,8 +166,10 @@ def main(argv=None) -> int:
     node.warm_up()
     _log(f"compiled in {time.perf_counter() - t0:.1f}s")
 
-    ring.start_replay(src, rate_sps=rate_sps,
-                      loop=bool(args.loop) or bool(args.dump))
+    loop = bool(args.loop) or bool(args.dump)
+    for a, r in enumerate(rings):
+        r.start_replay(src[a] if src.ndim == 2 else src,
+                       rate_sps=rate_sps, loop=loop)
     t_end = time.perf_counter() + args.seconds
     t_status = time.perf_counter() + (args.status_every or 1e9)
     try:
@@ -146,7 +180,8 @@ def main(argv=None) -> int:
                 _log(node.stats.status_page())
                 t_status = time.perf_counter() + args.status_every
     finally:
-        ring.stop()
+        for r in rings:
+            r.stop()
     node.flush()
     print(node.report())
     rep = node.sw.report()
@@ -154,7 +189,8 @@ def main(argv=None) -> int:
     print(f"node {'OK' if ok else 'NOT-REALTIME-OR-IDLE'}: "
           f"{node.stats.frame_ok} frames, {node.stats.acks_tx} acks, "
           f"avg ratio {rep.avg_ratio:.3f}")
-    ring.close()
+    for r in rings:
+        r.close()
     return 0 if ok else 1
 
 

@@ -82,22 +82,56 @@ def _descramble(bits: jnp.ndarray, prev7: jnp.ndarray | None = None
 
 
 def synchronize(x: jnp.ndarray, search: int = 2300):
-    """Chip-phase timing: Barker-correlate the stream head and fold the
-    magnitudes modulo 11 (the TSymTiming peak-tracking analogue,
-    symtiming.hpp:177 — but over all phases at once).
+    """Packet onset + chip-phase timing: find the FIRST energy burst, then
+    Barker-correlate and fold the magnitudes modulo 11 over the ``search``
+    chips after it (the TEnergyDetect -> TSymTiming peak-tracking chain,
+    cca.hpp:13 + symtiming.hpp:177 — but over all phases at once).
 
-    Returns (corr (B, nsym_tot) symbol correlations, t0 (B,) chip offset).
+    Locking to the first burst (not the global fold maximum) lets a frame
+    sit ANYWHERE in the window — the live node feeds overlapping windows
+    whose frames are mid-stream — and mirrors the 11a chain's
+    first-plateau selection.
+
+    Returns (corr (B, nsym_tot) symbol correlations anchored at the sync,
+    t0 (B,) chip offset of the first sync symbol, c full correlations).
     """
     c = df.correlate_stream(x, B.BARKER.astype(np.complex64))
     n = c.shape[-1]
-    head = jnp.abs(c[:, : min(search, n - (n % 11))])
-    hn = head.shape[1] - head.shape[1] % 11
-    folds = head[:, :hn].reshape(x.shape[0], -1, 11).sum(axis=1)
-    t0 = jnp.argmax(folds, axis=1).astype(jnp.int32)          # (B,)
+    # first-burst onset: 128-chip moving energy, earliest >= 50% of peak
+    en = df.moving_sum(jnp.abs(x[:, :n]) ** 2, 128).astype(jnp.float32)
+    onset = jnp.argmax(en >= 0.5 * jnp.max(en, axis=-1, keepdims=True),
+                       axis=-1).astype(jnp.int32)             # (B,)
+    onset = jnp.minimum(onset, max(0, n - search))
+    hn = min(search, n) - min(search, n) % 11
+    gidx = onset[:, None] + jnp.arange(hn)[None, :]
+    head = jnp.abs(jnp.take_along_axis(c, jnp.clip(gidx, 0, n - 1), 1))
+    folds = head.reshape(x.shape[0], -1, 11).sum(axis=1)
+    t0 = onset + jnp.argmax(folds, axis=1).astype(jnp.int32)  # (B,)
     nsym_tot = (n - 10) // 11
     idx = t0[:, None] + 11 * jnp.arange(nsym_tot)[None, :]
     corr = jnp.take_along_axis(c, jnp.clip(idx, 0, n - 1), axis=1)
     return corr, t0, c
+
+
+@jax.jit
+def detect_only(x: jnp.ndarray):
+    """Cheap DSSS carrier sense for the live node's gating pass — the
+    TEnergyDetect + TBarkerSync front half (cca.hpp:13, symtiming.hpp:12)
+    without the full symbol-timing/PLCP machinery.
+
+    Barker-correlate the chip stream and fold |corr|^2 modulo the 11-chip
+    symbol period: during a real preamble one fold phase concentrates the
+    energy (det -> ~11), over noise all phases are equal (det -> ~1).
+    Returns (det (B,) float32, power (B,) float32).  Gate at det >~ 2.
+
+    x: (B, N) complex64 chips at 11 Msps.
+    """
+    c = jnp.abs(df.correlate_stream(x, B.BARKER.astype(np.complex64))) ** 2
+    n = c.shape[-1] - c.shape[-1] % 11
+    folds = c[:, :n].reshape(x.shape[0], -1, 11).sum(axis=1)    # (B, 11)
+    det = 11.0 * jnp.max(folds, axis=-1) / (jnp.sum(folds, axis=-1) + 1e-9)
+    power = jnp.mean(jnp.abs(x) ** 2, axis=-1).astype(jnp.float32)
+    return det.astype(jnp.float32), power
 
 
 def _dbpsk_bits(corr: jnp.ndarray) -> jnp.ndarray:
@@ -258,7 +292,10 @@ def rx_pipeline(x: jnp.ndarray, rate_mbps: float, max_psdu: int = 256):
             "plcp_ok": plcp_ok.astype(jnp.uint8),
             "sig_rate_ok": sig_rate_ok.astype(jnp.uint8),
             "length": nbytes, "signal": plcp["signal"],
-            "length_us": plcp["length_us"], "t0": t0}
+            "length_us": plcp["length_us"], "t0": t0,
+            # chip-stream position of the first data chip: a stable
+            # frame anchor for cross-window dedup in the live node
+            "data_chip0": data_chip0.astype(jnp.int32)}
 
 
 @partial(jax.jit, static_argnames=("max_psdu",))

@@ -1,28 +1,34 @@
-"""Live streaming SDR node: RX ring -> batched device decode -> soft MAC
--> pre-staged TX.
+"""Live streaming SDR node: RX ring(s) -> batched device decode -> soft
+MAC -> pre-staged TX, for all three PHYs (802.11a / 11b / 11n).
 
 This is the umxsdrbrick analogue — the reference's defining capability: a
-*running radio*.  `Dot11_main` boots the radio, maps the RX DMA ring,
-starts RX/Viterbi/TX threads, and the MAC polls the demod graph
-(kernel/bb/umxsdrbrick/dot11main.cpp:365-457, mac.cpp:190-345,
-rxstream.hpp:37-64).  The TPU redesign replaces the thread pipeline with a
-windowed, double-buffered device feed:
+*running radio* switchable between 11a, 11b and 11n modes (-b / -n flags,
+kernel/bb/umxsdrbrick/main.cpp:28-39).  `Dot11_main` boots the radio,
+maps the RX DMA ring(s), starts RX/Viterbi/TX threads, and the MAC polls
+the demod graph (dot11main.cpp:365-457, mac.cpp:190-345,
+rxstream.hpp:37-64).  The TPU redesign replaces the thread pipeline with
+a windowed, double-buffered device feed:
 
 * The native ring (runtime.native.RxRing) is the SORA_RADIO_RX_STREAM: a
   producer thread (paced replay, or live writes) fills it; the node is a
-  vstream reader.
+  vstream reader.  11n reads TWO rings — the dual-radio TRxMIMOStream
+  (rxstream.hpp:162, queried at dot11main.cpp:270-276).
 * Samples accumulate into fixed-shape overlapping windows; a batch of
   windows is shipped with ``device_put`` and decoded by ONE jit program
-  (the mixed-rate rx_pipeline_auto — the whole RX graph incl. Viterbi).
+  (the mixed-rate/mixed-MCS auto pipelines — the whole RX graph incl.
+  Viterbi).  The 11b auto mode is two-phase like the reference's
+  TBB11bRxRateSel (PHY_11b.hpp:378): a rate-independent PLCP pass picks
+  which per-rate programs to run on the batch.
 * JAX async dispatch is the TThreadSeparator: the node issues the decode
   for batch k+1 before fetching batch k's results, so host MAC work and
   device decode overlap (P4 of SURVEY §2.9).
-* A cheap carrier-sense jit (detect_only) gates the full decode — the
-  TCCA11a no-energy early exit (cca.hpp:165-230): idle air costs the sync
-  front end only, never the Viterbi.
+* A cheap carrier-sense jit gates the full decode — TCCA11a's no-energy
+  early exit (cca.hpp:165-230) for OFDM, TEnergyDetect/Barker fold for
+  DSSS (cca.hpp:13): idle air costs the sync front end only, never the
+  Viterbi.
 * Decoded data frames are ACKed from a precomputed-waveform SignalCache
   (sub-SIFS fire, _signal_cache.h:1-60) into a TX sink that can loop back
-  into a ring (the software air) or just stage waveforms (the
+  into ring(s) (the software air) or just stage waveforms (the
   SoraURadioTransferEx analogue, _tx_manager2.c:91-556).
 
 Error taxonomy mirrors the reference's err_stat[] status page
@@ -45,18 +51,30 @@ from sora_tpu.util.stopwatch import MacStopwatch
 
 @dataclass
 class NodeConfig:
+    phy: str = "a"                # "a" | "b" | "n" (main.cpp:28-39 -b/-n)
     window: int = 8192            # samples per decode window (at input rate)
     batch: int = 8                # windows per device batch
     overlap: int = 2048           # window overlap >= max frame samples
-    input_rate: str = "20m"       # "20m" | "40m" (on-device front end)
+    input_rate: str = "20m"       # a/n: "20m"|"40m"; b: "11m"|"40m"|"44m"
     max_psdu: int = 1600
-    rate_mbps: int | None = None  # None = mixed-rate auto dispatch
-    ack_rate: int = 6
+    rate_mbps: float | None = None  # None = auto dispatch (11a/11b)
+    mcs: int | None = None        # 11n: None = mixed-MCS auto dispatch
+    ack_rate: float = 0.0         # 0 = per-phy default (6 OFDM / 2 DSSS)
     addr: bytes = b"\x02SORA1"
     sample_rate_sps: float = 20e6
-    detect_threshold: float = 0.6
+    detect_threshold: float = 0.0  # 0 = per-phy default
     promiscuous: bool = False     # sniffer mode: log every frame, no ACKs
     backlog_hwm: int = 0          # ring backlog watchdog (0 = auto)
+
+    def __post_init__(self):
+        if self.phy not in ("a", "b", "n"):
+            raise ValueError(f"phy must be a|b|n, got {self.phy!r}")
+        if not self.ack_rate:
+            self.ack_rate = 2 if self.phy == "b" else 6
+        if not self.detect_threshold:
+            # OFDM STS plateau quality in [0,1]; DSSS Barker fold ratio
+            # in [~1, 11] (see phy.dot11b.rx.detect_only)
+            self.detect_threshold = 1.7 if self.phy == "b" else 0.6
 
 
 @dataclass
@@ -98,22 +116,31 @@ class ErrStats:
 
 class TxSink:
     """Pre-staged TX path: `stage` precomputes/fetches the waveform (the
-    SoraURadioTransferEx step), `fire` sends it (SoraURadioTx).  With a
-    ring attached, fired waveforms mix back into the receive path — the
-    software air."""
+    SoraURadioTransferEx step), `fire` sends it (SoraURadioTx / MimoTx).
+    With ring(s) attached, fired waveforms mix back into the receive path
+    — the software air.  A 2-ring sink duplicates the waveform onto both
+    antennas (legacy-duplicate TX, the SoraURadioMimoTx analogue,
+    mac.cpp:323)."""
 
     def __init__(self, ring=None):
-        self.ring = ring
+        self.rings = (list(ring) if isinstance(ring, (list, tuple))
+                      else ([ring] if ring is not None else []))
         self.fired: list[tuple[float, int]] = []     # (t, n_samples)
 
     def fire(self, wave: np.ndarray) -> None:
         self.fired.append((time.perf_counter(), len(wave)))
-        if self.ring is not None:
-            self.ring.write(np.asarray(wave, np.complex64))
+        for r in self.rings:
+            r.write(np.asarray(wave, np.complex64))
+
+
+_B_RATES = (1, 2, 5.5, 11)
 
 
 class StreamingNode:
-    """One receive chain bound to an RX ring vstream."""
+    """One receive chain bound to RX ring vstream(s).
+
+    ``ring`` is a single RxRing for 11a/11b, or a [ring0, ring1] pair for
+    the 2-antenna 11n mode (TRxMIMOStream, rxstream.hpp:162)."""
 
     def __init__(self, ring, cfg: NodeConfig | None = None,
                  tx_sink: TxSink | None = None,
@@ -122,41 +149,75 @@ class StreamingNode:
                  on_frame: Callable | None = None):
         import jax
 
-        self.ring = ring
         self.cfg = cfg or NodeConfig()
-        self.vs = ring.alloc_vstream()
+        self.rings = (list(ring) if isinstance(ring, (list, tuple))
+                      else [ring])
+        if self.cfg.phy == "n" and len(self.rings) != 2:
+            raise ValueError("11n mode needs two RX rings (2 antennas)")
+        self.vss = [r.alloc_vstream() for r in self.rings]
         self.tx = tx_sink or TxSink()
         self.stats = ErrStats()
         self.sw = MacStopwatch(sample_rate=self.cfg.sample_rate_sps)
         self.on_payload = on_payload
         self.on_frame = on_frame     # sniffer tap: meta dict per rx frame
         self.rx_payloads: list[tuple[bytes, bytes]] = []
-        if modulate is None:
-            from sora_tpu.golden import dot11a_np as g
-
-            def modulate(psdu, rate):
-                w = g.modulate(psdu, rate).astype(np.complex64)
-                if self.cfg.input_rate == "40m":
-                    from sora_tpu.phy import frontend as fe
-                    import jax.numpy as jnp
-                    w = np.asarray(fe.upsample2(jnp.asarray(w[None]))[0])
-                return w
-        self.cache = SignalCache(modulate)
+        self.cache = SignalCache(modulate or self._default_modulate())
         self._jax = jax
-        self._carry = np.zeros(0, np.complex64)
+        self._carry = [np.zeros(0, np.complex64) for _ in self.rings]
         self._abs_off = 0                   # stream position of carry[0]
         self._backlog_hwm = (self.cfg.backlog_hwm
                              or 8 * self.cfg.batch * self.cfg.window)
-        self._pend: list[tuple[dict, list, float]] = []   # double buffer
+        # in-flight decodes: (out, metas, t0, nsamples, det)
+        self._pend: list[tuple] = []
         self._seen: dict[tuple[bytes, int], int] = {}     # dedup (hdr, pos)
         self._seen_order: list = []
         self._decode = None
         self._detect = None
         self._build_programs()
 
+    # -- per-phy modulation (ACK waveforms at the ring's input rate) ----------
+
+    def _default_modulate(self) -> Callable:
+        cfg = self.cfg
+        if cfg.phy == "b":
+            from sora_tpu.golden import dot11b_np as gb
+
+            def modulate(psdu, rate):
+                w = gb.modulate(psdu, rate).astype(np.complex64)
+                if cfg.input_rate in ("44m", "40m"):
+                    from sora_tpu.phy import frontend as fe
+                    import jax.numpy as jnp
+                    w4 = fe.pulse_shape_11b(jnp.asarray(w[None]))
+                    if cfg.input_rate == "40m":
+                        w4 = fe.resample(w4, 10, 11)
+                    w = np.asarray(w4[0])
+                return w
+        else:
+            from sora_tpu.golden import dot11a_np as g
+
+            def modulate(psdu, rate):
+                # 11n control responses go out in legacy OFDM (like the
+                # reference's 11a ACK path shared across modes)
+                w = g.modulate(psdu, int(rate)).astype(np.complex64)
+                if cfg.input_rate == "40m":
+                    from sora_tpu.phy import frontend as fe
+                    import jax.numpy as jnp
+                    w = np.asarray(fe.upsample2(jnp.asarray(w[None]))[0])
+                return w
+        return modulate
+
     # -- device programs -------------------------------------------------------
 
     def _build_programs(self):
+        cfg = self.cfg
+        if cfg.phy == "a":
+            self._build_a()
+        elif cfg.phy == "b":
+            self._build_b()
+        else:
+            self._build_n()
+
+    def _build_a(self):
         from sora_tpu.phy.dot11a import rx as arx
 
         cfg = self.cfg
@@ -165,7 +226,7 @@ class StreamingNode:
                 xb, max_psdu=cfg.max_psdu, input_rate=cfg.input_rate)
         else:
             self._decode = lambda xb: arx.rx_pipeline(
-                xb, cfg.rate_mbps, max_psdu=cfg.max_psdu,
+                xb, int(cfg.rate_mbps), max_psdu=cfg.max_psdu,
                 input_rate=cfg.input_rate)
 
         def detect(xb):
@@ -176,44 +237,150 @@ class StreamingNode:
 
         self._detect = detect
 
+    def _build_b(self):
+        from sora_tpu.phy.dot11b import rx as brx
+        from sora_tpu.phy import dot11b_common as B
+
+        cfg = self.cfg
+
+        def to_chips(xb):
+            if cfg.input_rate == "44m":
+                from sora_tpu.phy import frontend as fe
+                return fe.chip_frontend_44m(xb)
+            if cfg.input_rate == "40m":
+                from sora_tpu.phy import frontend as fe
+                return fe.chip_frontend_40m(xb)
+            return xb
+
+        max_psdu = min(cfg.max_psdu, 2048)
+
+        def norm(host: dict, rate) -> dict:
+            host["sig_ok"] = host.pop("plcp_ok")
+            host["rate_mbps"] = np.full(len(host["ok"]), float(rate),
+                                        np.float32)
+            host["pos"] = host.pop("data_chip0")
+            return host
+
+        if cfg.rate_mbps is not None:
+            rate = cfg.rate_mbps
+
+            def decode(xb):
+                out = brx.rx_pipeline(to_chips(xb), rate,
+                                      max_psdu=max_psdu)
+                return ("b_known", out, rate)
+        else:
+            # two-phase auto dispatch (TBB11bRxRateSel, PHY_11b.hpp:378):
+            # rate-independent PLCP parse picks which per-rate programs
+            # run; synchronous (fetches the PLCP pass) by construction
+            def decode(xb):
+                xc = to_chips(xb)
+                head = {k: np.asarray(v) for k, v in
+                        brx.rx_plcp(xc, max_psdu=max_psdu).items()}
+                plcp_ok = head["plcp_ok"].astype(bool)
+                signal = head["signal"]
+                Bsz = len(plcp_ok)
+                out = {"psdu": np.zeros((Bsz, max_psdu), np.uint8),
+                       "ok": np.zeros(Bsz, np.uint8),
+                       "fcs_ok": np.zeros(Bsz, np.uint8),
+                       "sig_ok": plcp_ok.astype(np.uint8),
+                       "length": np.zeros(Bsz, np.int32),
+                       "pos": np.zeros(Bsz, np.int32),
+                       "rate_mbps": np.zeros(Bsz, np.float32)}
+                for rate in _B_RATES:
+                    mask = plcp_ok & (signal == B.SIGNAL_BYTE[rate])
+                    if not mask.any():
+                        continue
+                    o = {k: np.asarray(v) for k, v in
+                         brx.rx_pipeline(xc, rate,
+                                         max_psdu=max_psdu).items()}
+                    for k in ("psdu", "ok", "fcs_ok", "length"):
+                        out[k][mask] = o[k][mask]
+                    out["pos"][mask] = o["data_chip0"][mask]
+                    out["rate_mbps"][mask] = rate
+                return ("host", out)
+
+        self._decode = decode
+        self._norm_b = norm
+        self._detect = lambda xb: brx.detect_only(to_chips(xb))
+
+    def _build_n(self):
+        from sora_tpu.phy.dot11a import rx as arx
+        from sora_tpu.phy.dot11n import rx as nrx
+
+        cfg = self.cfg
+
+        def front(xb):
+            if cfg.input_rate == "40m":
+                from sora_tpu.phy import frontend as fe
+                B2, A, N = xb.shape
+                xf = fe.ofdm_frontend_40m(xb.reshape(B2 * A, N))
+                return xf.reshape(B2, A, -1)
+            return xb
+
+        if cfg.mcs is not None:
+            self._decode = lambda xb: nrx.rx_pipeline(
+                front(xb), cfg.mcs, max_psdu=cfg.max_psdu)
+        else:
+            self._decode = lambda xb: nrx.rx_pipeline_auto(
+                front(xb), max_psdu=cfg.max_psdu)
+        # cheap gate: L-STF is present on both antennas; ant-0 suffices
+        self._detect = lambda xb: arx.detect_only(front(xb)[:, 0])
+
     def warm_up(self) -> None:
-        """Compile both programs on a zero batch (dot11main's graph build,
-        before the radio starts).  Synchronizes with a host fetch — on the
-        axon backend only a device->host transfer truly blocks."""
+        """Compile the device programs on a zero batch (dot11main's graph
+        build, before the radio starts).  Synchronizes with a host fetch —
+        on the axon backend only a device->host transfer truly blocks."""
         from sora_tpu.util.xfer import device_complex
 
-        z = np.zeros((self.cfg.batch, self.cfg.window), np.complex64)
+        z = np.zeros(self._batch_shape(), np.complex64)
         zd = device_complex(z)
         det, power = self._detect(zd)
         np.asarray(det)
         out = self._decode(zd)
-        np.asarray(out["ok"])
+        if isinstance(out, tuple):                 # 11b paths
+            if out[0] == "b_known":
+                np.asarray(out[1]["ok"])
+        else:
+            np.asarray(out["ok"])
+
+    def _batch_shape(self):
+        cfg = self.cfg
+        if cfg.phy == "n":
+            return (cfg.batch, 2, cfg.window)
+        return (cfg.batch, cfg.window)
 
     # -- ring consumption ------------------------------------------------------
 
-    def _next_windows(self) -> tuple[np.ndarray, list] | None:
-        """Assemble up to `batch` overlapping windows from the ring.
-        Returns (x (B, window) complex64, metas) or None if not enough
-        samples arrived yet."""
+    def _next_windows(self):
+        """Assemble up to `batch` overlapping windows from the ring(s).
+        Returns (x (B, window) or (B, A, window) complex64, metas) or None
+        if not enough samples arrived yet."""
         cfg = self.cfg
         hop = cfg.window - cfg.overlap
-        need = cfg.window + hop * (cfg.batch - 1) - len(self._carry)
-        if need > 0:
-            got = self.ring.read(self.vs, need)
-            if len(got):
-                self._carry = np.concatenate([self._carry, got])
         total = cfg.window + hop * (cfg.batch - 1)
-        if len(self._carry) < total:
+        for a, (ring, vs) in enumerate(zip(self.rings, self.vss)):
+            need = total - len(self._carry[a])
+            if need > 0:
+                got = ring.read(vs, need)
+                if len(got):
+                    self._carry[a] = np.concatenate([self._carry[a], got])
+        avail = min(len(c) for c in self._carry)
+        if avail < total:
             return None
-        x = np.empty((cfg.batch, cfg.window), np.complex64)
+        A = len(self.rings)
+        x = np.empty((cfg.batch, A, cfg.window), np.complex64)
         metas = []
         for i in range(cfg.batch):
             s = i * hop
-            x[i] = self._carry[s: s + cfg.window]
+            for a in range(A):
+                x[i, a] = self._carry[a][s: s + cfg.window]
             metas.append(self._abs_off + s)
         adv = hop * cfg.batch
-        self._carry = self._carry[adv:]
+        for a in range(A):
+            self._carry[a] = self._carry[a][adv:]
         self._abs_off += adv
+        if cfg.phy != "n":
+            x = x[:, 0, :]
         return x, metas
 
     # -- main loop -------------------------------------------------------------
@@ -224,13 +391,17 @@ class StreamingNode:
         edge — the reference's Seek(END_POS) backlog flush
         (rxstream.hpp:56-64, mac.cpp:247-249).  Returns samples dropped."""
         dropped = 0
-        avail = self.ring.available(self.vs)
-        while avail > self._backlog_hwm:
-            got = self.ring.read(self.vs, min(avail, 1 << 18))
-            dropped += len(got)
-            avail = self.ring.available(self.vs)
+        for a, (ring, vs) in enumerate(zip(self.rings, self.vss)):
+            d = 0
+            avail = ring.available(vs)
+            while avail > self._backlog_hwm:
+                got = ring.read(vs, min(avail, 1 << 18))
+                d += len(got)
+                avail = ring.available(vs)
+            if d:
+                self._carry[a] = np.zeros(0, np.complex64)
+            dropped = max(dropped, d)
         if dropped:
-            self._carry = np.zeros(0, np.complex64)
             self._abs_off += dropped        # keep positions monotonic
             self.stats.backlog_dropped += dropped
         return dropped
@@ -258,7 +429,7 @@ class StreamingNode:
             self._retire(block=False)
             return True
         out = self._decode(xd)           # async: returns futures
-        self._pend.append((out, metas, t0, x.size))
+        self._pend.append((out, metas, t0, x.size, det))
         # double buffering: retire only when 2 batches are in flight
         while len(self._pend) > 1:
             self._retire(block=True)
@@ -270,13 +441,14 @@ class StreamingNode:
         quiesce (mac.cpp:237-249), where pinqueue pad() fills the last
         burst (pinqueue.h:133-145)."""
         cfg = self.cfg
-        if len(self._carry) > 0:
+        if any(len(c) > 0 for c in self._carry):
             hop = cfg.window - cfg.overlap
             total = cfg.window + hop * (cfg.batch - 1)
-            pad = total - len(self._carry)
-            if pad > 0:
-                self._carry = np.concatenate(
-                    [self._carry, np.zeros(pad, np.complex64)])
+            for a in range(len(self.rings)):
+                pad = total - len(self._carry[a])
+                if pad > 0:
+                    self._carry[a] = np.concatenate(
+                        [self._carry[a], np.zeros(pad, np.complex64)])
             self.step()
         while self._pend:
             self._retire(block=True)
@@ -286,21 +458,41 @@ class StreamingNode:
             return
         if not block and len(self._pend) < 2:
             return
-        out, metas, t0, nsamp = self._pend.pop(0)
-        host = {k: np.asarray(v) for k, v in out.items()}
-        self._dispatch(host, metas)
+        out, metas, t0, nsamp, det = self._pend.pop(0)
+        if isinstance(out, tuple):                 # 11b result forms
+            if out[0] == "b_known":
+                host = {k: np.asarray(v) for k, v in out[1].items()}
+                host = self._norm_b(host, out[2])
+            else:
+                host = out[1]                      # already host numpy
+        else:
+            host = {k: np.asarray(v) for k, v in out.items()}
+        self._dispatch(host, metas, det)
         self.sw.add(nsamp, time.perf_counter() - t0)
         self.stats.decoded_batches += 1
-        self.stats.ring_drops = self.ring.drops(self.vs)
+        self.stats.ring_drops = max(r.drops(vs) for r, vs
+                                    in zip(self.rings, self.vss))
 
     # -- MAC dispatch ----------------------------------------------------------
 
-    def _dispatch(self, out: dict, metas: list) -> None:
+    def _pos_scale(self) -> float:
+        """Decoded-position units -> input-sample units (for dedup)."""
         cfg = self.cfg
-        sub = 2 if cfg.input_rate == "40m" else 1
+        if cfg.phy == "b":     # chip (11 Msps) -> input rate
+            return {"11m": 1.0, "40m": 40.0 / 11.0, "44m": 4.0}[
+                cfg.input_rate]
+        return 2.0 if cfg.input_rate == "40m" else 1.0
+
+    def _dispatch(self, out: dict, metas: list, det: np.ndarray) -> None:
+        cfg = self.cfg
+        sub = self._pos_scale()
+        cs_ok = out.get("cs_ok")
+        if cs_ok is None:
+            cs_ok = (det >= cfg.detect_threshold).astype(np.uint8)
+        anchor = out.get("pos", out.get("lts1"))
         for i in range(len(metas)):
             if not out["ok"][i]:
-                if not out["cs_ok"][i]:
+                if not cs_ok[i]:
                     self.stats.cs_timeout += 1
                 elif not out["sig_ok"][i]:
                     self.stats.plcp_fail += 1
@@ -310,7 +502,7 @@ class StreamingNode:
             n = int(out["length"][i])
             psdu = bytes(out["psdu"][i][:n])
             # dedup across overlapping windows by absolute sample position
-            pos = metas[i] + int(out["lts1"][i]) * sub
+            pos = metas[i] + int(int(anchor[i]) * sub)
             key = psdu[:24]          # header incl. seq_ctrl
             # a true duplicate (same frame seen through two overlapping
             # windows) lands at the SAME absolute stream position, up to
@@ -326,7 +518,7 @@ class StreamingNode:
                 self._seen.pop(self._seen_order.pop(0), None)
             if self.on_frame is not None:
                 meta = {"psdu": psdu, "pos": pos}
-                for k in ("rate_mbps", "snr_db", "det", "cfo"):
+                for k in ("rate_mbps", "mcs", "snr_db", "det", "cfo"):
                     if k in out:
                         meta[k] = float(out[k][i])
                 self.on_frame(meta)

@@ -131,5 +131,129 @@ def test_node_backlog_watchdog(rng):
     dropped = node.skip_backlog()
     assert dropped > 0
     assert node.stats.backlog_dropped == dropped
-    assert ring.available(node.vs) <= 32768
+    assert ring.available(node.vss[0]) <= 32768
     ring.close()
+
+
+# -- multi-PHY modes (-b / -n, umxsdrbrick/main.cpp:28-39) --------------------
+
+
+def _traffic_b(rng, rates=(2, 5.5, 11), to=ADDR, gap=2200, nbytes=40):
+    from sora_tpu.golden import dot11b_np as gb
+
+    pieces, psdus = [], []
+    for i, rate in enumerate(rates):
+        hdr = MacHeader(addr1=to, addr2=PEER, addr3=to,
+                        seq_ctrl=(i & 0xFFF) << 4)
+        payload = bytes(rng.integers(0, 256, nbytes, dtype=np.uint8))
+        psdu = append_fcs(hdr.pack() + payload)
+        psdus.append(psdu)
+        pieces.append(np.zeros(gap, np.complex64))
+        pieces.append(gb.modulate(psdu, rate).astype(np.complex64))
+    pieces.append(np.zeros(3 * gap, np.complex64))
+    x = np.concatenate(pieces)
+    x += (rng.normal(size=len(x)) + 1j * rng.normal(size=len(x))
+          ).astype(np.complex64) * 0.01
+    return x, psdus
+
+
+def test_node_11b_auto_rate_decodes_and_acks(rng):
+    """11b mode: mixed-rate DSSS traffic (2 / 5.5 / 11 Mbps CCK) through
+    the two-phase PLCP dispatch; ACKs go out as DSSS waveforms."""
+    from sora_tpu.golden import dot11b_np as gb
+
+    ring = RxRing(capacity=1 << 20)
+    cfg = NodeConfig(phy="b", input_rate="11m", window=8192, batch=2,
+                     overlap=6144, max_psdu=256, addr=ADDR,
+                     sample_rate_sps=11e6)
+    tx = TxSink()
+    node = StreamingNode(ring, cfg, tx_sink=tx)
+    x, psdus = _traffic_b(rng)
+    ring.write(x)
+    _drain(ring, node)
+    assert node.stats.frame_ok == 3, node.report()
+    assert node.stats.acks_tx == 3
+    assert {s for s, _ in node.rx_payloads} == {PEER}
+    # the fired ACK is a decodable DSSS waveform at the basic rate
+    wave = tx.fired and node.cache.get(
+        __import__("sora_tpu.mac.frame", fromlist=["build_ack_frame"]
+                   ).build_ack_frame(PEER), node.cfg.ack_rate)
+    res = gb.demodulate(np.concatenate(
+        [np.zeros(64, np.complex64), wave, np.zeros(64, np.complex64)]))
+    assert res.ok and res.rate_mbps == 2
+    ring.close()
+
+
+def test_node_11b_cs_gates_idle_air(rng):
+    ring = RxRing(capacity=1 << 20)
+    cfg = NodeConfig(phy="b", input_rate="11m", window=8192, batch=2,
+                     overlap=6144, max_psdu=256, addr=ADDR)
+    node = StreamingNode(ring, cfg)
+    noise = (rng.normal(size=60000) + 1j * rng.normal(size=60000)
+             ).astype(np.complex64) * 0.05
+    ring.write(noise)
+    _drain(ring, node)
+    assert node.stats.frame_ok == 0
+    assert node.stats.cs_timeout > 0
+    assert node.stats.decoded_batches == 0
+    ring.close()
+
+
+def _traffic_n(rng, mcss=(8, 11, 15), to=ADDR, gap=800, nbytes=80):
+    from sora_tpu.golden import dot11n_np as gn
+
+    rows0, rows1, psdus = [], [], []
+    for i, mcs in enumerate(mcss):
+        hdr = MacHeader(addr1=to, addr2=PEER, addr3=to,
+                        seq_ctrl=(i & 0xFFF) << 4)
+        payload = bytes(rng.integers(0, 256, nbytes, dtype=np.uint8))
+        psdu = append_fcs(hdr.pack() + payload)
+        psdus.append(psdu)
+        w = gn.modulate(psdu, mcs).astype(np.complex64)       # (2, N)
+        z = np.zeros(gap, np.complex64)
+        rows0 += [z, w[0]]
+        rows1 += [z, w[1]]
+    z = np.zeros(3 * gap, np.complex64)
+    x0 = np.concatenate(rows0 + [z])
+    x1 = np.concatenate(rows1 + [z])
+    n = rng.normal(size=(2, len(x0))) + 1j * rng.normal(size=(2, len(x0)))
+    return (x0 + 0.005 * n[0].astype(np.complex64),
+            x1 + 0.005 * n[1].astype(np.complex64)), psdus
+
+
+def test_node_11n_mimo_two_rings(rng):
+    """11n mode: 2x2 MIMO frames across two RX rings (the TRxMIMOStream
+    analogue), mixed-MCS auto dispatch, legacy-OFDM ACKs."""
+    rings = [RxRing(capacity=1 << 20), RxRing(capacity=1 << 20)]
+    cfg = NodeConfig(phy="n", window=4096, batch=2, overlap=2816,
+                     max_psdu=256, addr=ADDR)
+    tx = TxSink()
+    node = StreamingNode(rings, cfg, tx_sink=tx)
+    (x0, x1), psdus = _traffic_n(rng)
+    rings[0].write(x0.astype(np.complex64))
+    rings[1].write(x1.astype(np.complex64))
+    _drain(rings[0], node)
+    assert node.stats.frame_ok == 3, node.report()
+    assert node.stats.acks_tx == 3
+    assert {s for s, _ in node.rx_payloads} == {PEER}
+    for r in rings:
+        r.close()
+
+
+def test_node_11n_requires_two_rings():
+    import pytest as _pytest
+
+    ring = RxRing(capacity=1 << 16)
+    with _pytest.raises(ValueError):
+        StreamingNode(ring, NodeConfig(phy="n"))
+    ring.close()
+
+
+def test_txsink_mimo_duplicates_to_both_rings():
+    rings = [RxRing(capacity=1 << 16), RxRing(capacity=1 << 16)]
+    tx = TxSink(rings)
+    vss = [r.alloc_vstream() for r in rings]
+    tx.fire(np.ones(100, np.complex64))
+    for r, vs in zip(rings, vss):
+        assert len(r.read(vs, 1000)) == 100
+        r.close()
