@@ -183,9 +183,16 @@ def main(argv=None) -> int:
         src = parse_dump(args.dump)
         input_rate = "40m" if args.msps == 40 else "20m"
         rate_sps = args.pace or float(args.msps) * 1e6
-        window = 1 << int(np.ceil(np.log2(len(src) + 4096)))
-        cfg = NodeConfig(window=window,
-                         overlap=min(len(src) + 2048, window - window // 8),
+        # Clamp the window: a multi-second capture must stream through
+        # overlapping windows (like apps/node.py), not become one
+        # multi-megasample batch that exhausts device memory.  2^18
+        # samples (6.5 ms @ 40 Msps) holds any <= 1600-byte frame even
+        # at 6 Mbps, and the half-window overlap guarantees every frame
+        # lands whole in some window.
+        window = min(1 << int(np.ceil(np.log2(len(src) + 4096))), 1 << 18)
+        overlap = (window // 2 if window == 1 << 18
+                   else min(len(src) + 2048, window - window // 8))
+        cfg = NodeConfig(window=window, overlap=overlap,
                          batch=4, input_rate=input_rate,
                          sample_rate_sps=rate_sps)
         loop = True

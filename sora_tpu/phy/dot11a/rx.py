@@ -371,7 +371,11 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
     if input_rate == "40m":
         from sora_tpu.phy import frontend as fe
         x = fe.ofdm_frontend_40m(x)
-    # static window capacity: preamble (320) + SIGNAL (80) + data symbols
+    # static window capacity upper bound: extract_symbols needs
+    # lts1 + 128 (LTS) + 80*(nsym+1) <= N, evaluated at the earliest
+    # possible anchor lts1 = 0, i.e. nsym <= (N - 208) / 80.  Real
+    # anchors sit >= 192 in, so this overestimates by <= 3 symbols —
+    # harmless: the surplus symbols are erased by the length mask.
     nsym_win = max(1, (int(x.shape[1]) - 208) // 80)
     mats, nsyms, ndbps_tab, nsym_max, t_max = _auto_tables(max_psdu,
                                                            nsym_win)
@@ -447,8 +451,9 @@ def rx_pipeline(x: jnp.ndarray, rate_mbps: int, max_psdu: int = MAX_PSDU,
         from sora_tpu.phy import frontend as fe
         x = fe.ofdm_frontend_40m(x)
     rate = C.RATES[rate_mbps]
-    # cap the trellis at what the window can physically hold (see
-    # _auto_tables): longer frames cannot decode from this window anyway
+    # cap the trellis at what the window can physically hold (the
+    # lts1 = 0 upper bound (N - 208) // 80 — see rx_pipeline_auto):
+    # longer frames cannot decode from this window anyway
     nsym_win = max(1, (int(x.shape[1]) - 208) // 80)
     nsym = min(max_symbols(rate, max_psdu), nsym_win)
     lts1, cfo, det = synchronize(x)

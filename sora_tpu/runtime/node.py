@@ -38,6 +38,7 @@ Error taxonomy mirrors the reference's err_stat[] status page
 from __future__ import annotations
 
 import time
+from collections import deque
 from dataclasses import dataclass, field
 from typing import Callable
 
@@ -59,19 +60,19 @@ class NodeConfig:
     max_psdu: int = 1600
     rate_mbps: float | None = None  # None = auto dispatch (11a/11b)
     mcs: int | None = None        # 11n: None = mixed-MCS auto dispatch
-    ack_rate: float = 0.0         # 0 = per-phy default (6 OFDM / 2 DSSS)
+    ack_rate: float | None = None  # None = per-phy default (6 OFDM / 2 DSSS)
     addr: bytes = b"\x02SORA1"
     sample_rate_sps: float = 20e6
-    detect_threshold: float = 0.0  # 0 = per-phy default
+    detect_threshold: float | None = None  # None = per-phy default
     promiscuous: bool = False     # sniffer mode: log every frame, no ACKs
     backlog_hwm: int = 0          # ring backlog watchdog (0 = auto)
 
     def __post_init__(self):
         if self.phy not in ("a", "b", "n"):
             raise ValueError(f"phy must be a|b|n, got {self.phy!r}")
-        if not self.ack_rate:
+        if self.ack_rate is None:
             self.ack_rate = 2 if self.phy == "b" else 6
-        if not self.detect_threshold:
+        if self.detect_threshold is None:
             # OFDM STS plateau quality in [0,1]; DSSS Barker fold ratio
             # in [~1, 11] (see phy.dot11b.rx.detect_only)
             self.detect_threshold = 1.7 if self.phy == "b" else 0.6
@@ -89,16 +90,19 @@ class ErrStats:
     dup: int = 0
     not_for_us: int = 0
     acks_tx: int = 0
-    ring_drops: int = 0
+    ring_drops: list = field(default_factory=list)   # per-vstream counts
     backlog_dropped: int = 0      # samples skipped by the watchdog
-    ack_latency_s: list = field(default_factory=list)
+    # bounded: a long-running node must not grow without limit
+    ack_latency_s: "deque" = field(
+        default_factory=lambda: deque(maxlen=4096))
 
     def status_page(self) -> str:
         lines = ["-- node status ------------------------------",
                  f" windows      {self.windows:8d}   cs_timeout "
                  f"{self.cs_timeout:8d}",
                  f" batches      {self.decoded_batches:8d}   ring_drops "
-                 f"{self.ring_drops:8d}",
+                 + ("/".join(str(d) for d in self.ring_drops)
+                    if self.ring_drops else "       0"),
                  f" frame_ok     {self.frame_ok:8d}   dup        "
                  f"{self.dup:8d}",
                  f" plcp_fail    {self.plcp_fail:8d}   crc_fail   "
@@ -302,6 +306,15 @@ class StreamingNode:
         self._decode = decode
         self._norm_b = norm
         self._detect = lambda xb: brx.detect_only(to_chips(xb))
+        if cfg.rate_mbps is None:
+            # warm_up must compile every per-rate program: on a zero
+            # batch plcp_ok is all-false so `decode` alone would leave
+            # them cold and the first live frame at each rate would pay
+            # a full jit compile mid-stream (tripping the watchdog)
+            self._warm_extra = [
+                (lambda xb, r=r: brx.rx_pipeline(to_chips(xb), r,
+                                                 max_psdu=max_psdu)["ok"])
+                for r in _B_RATES]
 
     def _build_n(self):
         from sora_tpu.phy.dot11a import rx as arx
@@ -323,8 +336,11 @@ class StreamingNode:
         else:
             self._decode = lambda xb: nrx.rx_pipeline_auto(
                 front(xb), max_psdu=cfg.max_psdu)
-        # cheap gate: L-STF is present on both antennas; ant-0 suffices
-        self._detect = lambda xb: arx.detect_only(front(xb)[:, 0])
+        # cheap gate on the antenna SUM — the real sync antenna-sums too
+        # (phy/dot11n/rx.py synchronize_mimo), so a fade on one antenna
+        # cannot gate out a frame the other still carries
+        self._detect = lambda xb: arx.detect_only(
+            front(xb).sum(axis=1) * 0.5)
 
     def warm_up(self) -> None:
         """Compile the device programs on a zero batch (dot11main's graph
@@ -342,6 +358,8 @@ class StreamingNode:
                 np.asarray(out[1]["ok"])
         else:
             np.asarray(out["ok"])
+        for f in getattr(self, "_warm_extra", []):
+            np.asarray(f(zd))
 
     def _batch_shape(self):
         cfg = self.cfg
@@ -390,21 +408,28 @@ class StreamingNode:
         the high-water mark), drop buffered samples and resume at the live
         edge — the reference's Seek(END_POS) backlog flush
         (rxstream.hpp:56-64, mac.cpp:247-249).  Returns samples dropped."""
-        dropped = 0
+        if not any(ring.available(vs) > self._backlog_hwm
+                   for ring, vs in zip(self.rings, self.vss)):
+            return 0
+        # Advance every stream to the SAME absolute position so
+        # multi-antenna streams stay sample-aligned (a per-ring drain
+        # would pair misaligned antenna samples and break the 2x2 MIMO
+        # decode for good).  carry[a][0] sits at _abs_off for every a, so
+        # stream a can reach offset len(carry[a]) + available(a); jump to
+        # the smallest common reach minus half the high-water mark.
+        reach = [len(c) + ring.available(vs) for c, ring, vs
+                 in zip(self._carry, self.rings, self.vss)]
+        target = min(reach) - self._backlog_hwm // 2
+        if target <= max(len(c) for c in self._carry):
+            return 0                       # cannot align-drop yet
         for a, (ring, vs) in enumerate(zip(self.rings, self.vss)):
-            d = 0
-            avail = ring.available(vs)
-            while avail > self._backlog_hwm:
-                got = ring.read(vs, min(avail, 1 << 18))
-                d += len(got)
-                avail = ring.available(vs)
-            if d:
-                self._carry[a] = np.zeros(0, np.complex64)
-            dropped = max(dropped, d)
-        if dropped:
-            self._abs_off += dropped        # keep positions monotonic
-            self.stats.backlog_dropped += dropped
-        return dropped
+            left = target - len(self._carry[a])
+            while left > 0:
+                left -= len(ring.read(vs, min(left, 1 << 18)))
+            self._carry[a] = np.zeros(0, np.complex64)
+        self._abs_off += target             # keep positions monotonic
+        self.stats.backlog_dropped += target
+        return target
 
     def step(self) -> bool:
         """One poll iteration: assemble a batch, CS-gate it, issue the
@@ -470,8 +495,8 @@ class StreamingNode:
         self._dispatch(host, metas, det)
         self.sw.add(nsamp, time.perf_counter() - t0)
         self.stats.decoded_batches += 1
-        self.stats.ring_drops = max(r.drops(vs) for r, vs
-                                    in zip(self.rings, self.vss))
+        self.stats.ring_drops = [r.drops(vs) for r, vs
+                                 in zip(self.rings, self.vss)]
 
     # -- MAC dispatch ----------------------------------------------------------
 
