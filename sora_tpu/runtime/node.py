@@ -44,8 +44,9 @@ from typing import Callable
 
 import numpy as np
 
-from sora_tpu.mac.csma import SignalCache
-from sora_tpu.mac.frame import MacHeader, build_ack_frame
+from sora_tpu.mac.csma import (CW_MAX, CW_MIN, DIFS_SLOTS, RETRY_LIMIT,
+                               SignalCache)
+from sora_tpu.mac.frame import MacHeader, append_fcs, build_ack_frame
 from sora_tpu.mac import mgmt
 from sora_tpu.util.stopwatch import MacStopwatch
 
@@ -66,6 +67,8 @@ class NodeConfig:
     detect_threshold: float | None = None  # None = per-phy default
     promiscuous: bool = False     # sniffer mode: log every frame, no ACKs
     backlog_hwm: int = 0          # ring backlog watchdog (0 = auto)
+    data_rate: float | None = None  # TX data rate (None = ack_rate)
+    ack_timeout_slots: int = 0    # 0 = auto from batch decode latency
 
     def __post_init__(self):
         if self.phy not in ("a", "b", "n"):
@@ -90,6 +93,10 @@ class ErrStats:
     dup: int = 0
     not_for_us: int = 0
     acks_tx: int = 0
+    tx_data: int = 0              # data frames fired (MAC11_Send)
+    tx_acked: int = 0             # data frames confirmed by an ACK
+    tx_retries: int = 0           # BEB retransmissions
+    tx_drops: int = 0             # gave up after RETRY_LIMIT
     ring_drops: list = field(default_factory=list)   # per-vstream counts
     backlog_dropped: int = 0      # samples skipped by the watchdog
     # bounded: a long-running node must not grow without limit
@@ -109,7 +116,11 @@ class ErrStats:
                  f"{self.crc_fail:8d}",
                  f" not_for_us   {self.not_for_us:8d}   acks_tx    "
                  f"{self.acks_tx:8d}",
-                 f" backlog_drop {self.backlog_dropped:8d}"]
+                 f" backlog_drop {self.backlog_dropped:8d}",
+                 f" tx_data      {self.tx_data:8d}   tx_acked   "
+                 f"{self.tx_acked:8d}",
+                 f" tx_retries   {self.tx_retries:8d}   tx_drops   "
+                 f"{self.tx_drops:8d}"]
         if self.ack_latency_s:
             a = np.asarray(self.ack_latency_s)
             lines.append(f" ack latency  avg {a.mean()*1e6:7.0f} us  "
@@ -177,6 +188,22 @@ class StreamingNode:
         self._seen_order: list = []
         self._decode = None
         self._detect = None
+        # -- TX MAC state (MAC11_Send + send thread, mac.cpp:293-345,
+        # 547-610): queue -> DIFS -> backoff -> fire -> ACK await -> BEB.
+        # The FSM is clocked by consumed stream samples (_abs_off), the
+        # node's notion of air time; one slot = 9 us of input samples.
+        self._txq: deque = deque()
+        self._tx_state = "idle"               # idle|contend|wait_ack
+        self._tx_seq = 0
+        self._cw = CW_MIN
+        self._difs_left = 0
+        self._backoff = 0
+        self._busy_until = 0                  # abs sample pos medium busy
+        self._tx_clock = 0                    # FSM's consumed stream pos
+        self._ack_deadline = 0
+        self._tx_rng = np.random.default_rng(
+            int.from_bytes(self.cfg.addr[-4:], "little"))
+        self._slot = max(1, int(round(9e-6 * self.cfg.sample_rate_sps)))
         self._build_programs()
 
     # -- per-phy modulation (ACK waveforms at the ring's input rate) ----------
@@ -401,6 +428,101 @@ class StreamingNode:
             x = x[:, 0, :]
         return x, metas
 
+    # -- TX data path (MAC11_Send, mac.cpp:293-345; send thread
+    # mac.cpp:547-610; boot dot11main.cpp:229-257) -----------------------------
+
+    def send(self, payload: bytes, dst: bytes,
+             rate: float | None = None) -> None:
+        """Queue a data frame for CSMA/CA transmission.  The waveform is
+        pre-staged into the SignalCache immediately (the
+        SoraURadioTransferEx step) so the eventual fire is a cache hit."""
+        cfg = self.cfg
+        hdr = MacHeader(addr1=bytes(dst), addr2=cfg.addr, addr3=cfg.addr,
+                        seq_ctrl=self._tx_seq << 4)
+        self._tx_seq = (self._tx_seq + 1) & 0xFFF
+        psdu = append_fcs(hdr.pack() + payload)
+        rate = rate if rate is not None else (cfg.data_rate
+                                              if cfg.data_rate is not None
+                                              else cfg.ack_rate)
+        self.cache.get(psdu, rate)                      # pre-stage
+        self._txq.append([psdu, bytes(dst), rate, 0])   # [.., retries]
+
+    def _ack_timeout_slots(self) -> int:
+        cfg = self.cfg
+        if cfg.ack_timeout_slots:
+            return cfg.ack_timeout_slots
+        # batched decode adds latency: the peer only sees our frame once
+        # its batch window assembles, and its ACK reaches us one of our
+        # batches later — budget two full batch spans plus margin
+        hop = cfg.window - cfg.overlap
+        total = cfg.window + hop * (cfg.batch - 1)
+        return 64 + (2 * total) // self._slot
+
+    def _enter_contend(self) -> None:
+        self._tx_state = "contend"
+        self._difs_left = DIFS_SLOTS
+        self._backoff = int(self._tx_rng.integers(0, self._cw + 1))
+        self._tx_clock = self._abs_off
+
+    def _tx_fire(self) -> None:
+        psdu, dst, rate, _ = self._txq[0]
+        wave = self.cache.get(psdu, rate)               # pre-staged hit
+        self.tx.fire(wave)
+        self.stats.tx_data += 1
+        if dst == b"\xff" * 6:                          # broadcast: no ACK
+            self._txq.popleft()
+            self._cw = CW_MIN
+            self._tx_state = "idle"
+            return
+        self._tx_state = "wait_ack"
+        self._ack_deadline = (self._abs_off + len(wave)
+                              + self._ack_timeout_slots() * self._slot)
+
+    def _tx_step(self) -> None:
+        """Advance the TX FSM against the stream clock.  Carrier sense
+        comes from the decode path: _dispatch extends _busy_until over
+        every window whose detect metric fired."""
+        now = self._abs_off
+        if self._tx_state == "wait_ack":
+            if now < self._ack_deadline:
+                return
+            pend = self._txq[0]
+            pend[3] += 1
+            self.stats.tx_retries += 1
+            if pend[3] > RETRY_LIMIT:
+                self._txq.popleft()
+                self.stats.tx_drops += 1
+                self._cw = CW_MIN
+                self._tx_state = "idle"
+            else:
+                self._cw = min(2 * self._cw + 1, CW_MAX)   # BEB
+                self._enter_contend()
+            return
+        if not self._txq:
+            self._tx_state = "idle"
+            return
+        if self._tx_state == "idle":
+            self._enter_contend()
+            return
+        # contend: consume idle slots between (_tx_clock, now); a busy
+        # medium re-arms DIFS (mac.cpp:190-280 DIFS+backoff discipline)
+        if self._tx_clock < self._busy_until:
+            self._difs_left = DIFS_SLOTS
+            self._tx_clock = min(now, self._busy_until)
+        start = max(self._tx_clock, self._busy_until)
+        avail = max(0, (now - start) // self._slot)
+        used = 0
+        while avail > 0 and (self._difs_left > 0 or self._backoff > 0):
+            if self._difs_left > 0:
+                self._difs_left -= 1
+            else:
+                self._backoff -= 1
+            avail -= 1
+            used += 1
+        self._tx_clock = start + used * self._slot
+        if self._difs_left == 0 and self._backoff == 0:
+            self._tx_fire()
+
     # -- main loop -------------------------------------------------------------
 
     def skip_backlog(self) -> int:
@@ -437,6 +559,7 @@ class StreamingNode:
         True if any work was done (the MAC11a_Receive loop body)."""
         self.skip_backlog()
         nw = self._next_windows()
+        self._tx_step()
         if nw is None:
             self._retire(block=False)
             return False
@@ -514,6 +637,12 @@ class StreamingNode:
         cs_ok = out.get("cs_ok")
         if cs_ok is None:
             cs_ok = (det >= cfg.detect_threshold).astype(np.uint8)
+        # carrier sense for the TX FSM: any window with energy marks the
+        # medium busy through its end (window-granular CCA)
+        for i in range(len(metas)):
+            if cs_ok[i]:
+                self._busy_until = max(self._busy_until,
+                                       metas[i] + cfg.window)
         anchor = out.get("pos", out.get("lts1"))
         for i in range(len(metas)):
             if not out["ok"][i]:
@@ -554,6 +683,12 @@ class StreamingNode:
         ftype = mgmt.frame_type(psdu)
         if ftype == mgmt.FC_ACK:
             self.stats.frame_ok += 1
+            if (self._tx_state == "wait_ack" and self._txq
+                    and len(psdu) >= 10 and psdu[4:10] == cfg.addr):
+                self._txq.popleft()
+                self._cw = CW_MIN
+                self._tx_state = "idle"
+                self.stats.tx_acked += 1
             return
         if len(psdu) < 28:
             self.stats.crc_fail += 1

@@ -249,6 +249,103 @@ def test_node_11n_requires_two_rings():
     ring.close()
 
 
+# -- data TX: CSMA/CA send path (MAC11_Send, mac.cpp:293-345) -----------------
+
+
+class _LossyTxSink(TxSink):
+    """Drops the first `drop_first` fired waveforms — injected loss for
+    observing the BEB retry path."""
+
+    def __init__(self, ring=None, drop_first: int = 0):
+        super().__init__(ring)
+        self.drop_first = drop_first
+
+    def fire(self, wave):
+        if self.drop_first > 0:
+            self.drop_first -= 1
+            self.fired.append((0.0, len(wave)))
+            return
+        super().fire(wave)
+
+
+def _two_nodes(drop_first=0, ack_timeout_slots=250):
+    ring_a = RxRing(capacity=1 << 22)
+    ring_b = RxRing(capacity=1 << 22)
+    mk = lambda addr: NodeConfig(
+        window=4096, batch=2, overlap=2816, max_psdu=256, addr=addr,
+        rate_mbps=None, data_rate=12, ack_timeout_slots=ack_timeout_slots)
+    # cross-wired rings: each node's TX feeds the other's RX (software air)
+    tx_a = _LossyTxSink(ring_b, drop_first=drop_first)
+    tx_b = TxSink(ring_a)
+    node_a = StreamingNode(ring_a, mk(ADDR), tx_sink=tx_a)
+    node_b = StreamingNode(ring_b, mk(PEER), tx_sink=tx_b)
+    return (ring_a, ring_b), (node_a, node_b)
+
+
+def _pump(rings, nodes, rng, chunks, done, chunk=4096):
+    """Idle-air clock: write low noise into both rings, step both nodes."""
+    for _ in range(chunks):
+        for r in rings:
+            n = (rng.normal(size=chunk) + 1j * rng.normal(size=chunk)
+                 ).astype(np.complex64) * 0.01
+            r.write(n)
+        for node in nodes:
+            node.step()
+        if done():
+            break
+    for node in nodes:
+        node.flush()
+
+
+def test_two_nodes_exchange_data_and_acks(rng):
+    """Node A sends data to node B through cross-wired rings; B decodes,
+    ACKs; A sees the ACK and confirms — the reference's two-station
+    conversation (mac.cpp:190-345) over the software air."""
+    rings, (a, b) = _two_nodes()
+    payload = b"hello from A" * 4
+    a.send(payload, PEER)
+    _pump(rings, (a, b), rng, chunks=40,
+          done=lambda: a.stats.tx_acked >= 1)
+    assert a.stats.tx_data >= 1, a.report()
+    assert b.stats.frame_ok >= 1, b.report()
+    assert b.rx_payloads and b.rx_payloads[0] == (ADDR, payload)
+    assert b.stats.acks_tx >= 1
+    assert a.stats.tx_acked == 1, a.report()
+    assert a.stats.tx_drops == 0
+    for r in rings:
+        r.close()
+
+
+def test_two_nodes_retry_under_loss(rng):
+    """A's first transmission is dropped by the air: the ACK timeout
+    fires, BEB retries, and the retransmission gets through."""
+    rings, (a, b) = _two_nodes(drop_first=1)
+    a.send(b"retry me", PEER)
+    _pump(rings, (a, b), rng, chunks=120,
+          done=lambda: a.stats.tx_acked >= 1)
+    assert a.stats.tx_retries >= 1, a.report()
+    assert a.stats.tx_data >= 2          # original + retransmission
+    assert a.stats.tx_acked == 1, a.report()
+    assert b.rx_payloads and b.rx_payloads[0][1] == b"retry me"
+    for r in rings:
+        r.close()
+
+
+def test_node_tx_drops_after_retry_limit(rng):
+    """With the air fully broken, BEB gives up after RETRY_LIMIT."""
+    from sora_tpu.mac.csma import RETRY_LIMIT
+
+    rings, (a, b) = _two_nodes(drop_first=100, ack_timeout_slots=30)
+    a.send(b"never arrives", PEER)
+    _pump(rings, (a, b), rng, chunks=220,
+          done=lambda: a.stats.tx_drops >= 1)
+    assert a.stats.tx_drops == 1, a.report()
+    assert a.stats.tx_retries == RETRY_LIMIT + 1
+    assert a.stats.tx_acked == 0
+    for r in rings:
+        r.close()
+
+
 def test_txsink_mimo_duplicates_to_both_rings():
     rings = [RxRing(capacity=1 << 16), RxRing(capacity=1 << 16)]
     tx = TxSink(rings)
