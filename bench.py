@@ -52,7 +52,7 @@ def _saturated_batch(rate_mbps: int, B: int, psdu_len: int, seed: int = 1):
     return x, N, psdu
 
 
-def _amortized(fn, xd, sync_key: str, reps: int = 20):
+def _amortized(fn, xd, sync_key: str, reps: int = 60):
     """Warm, verify, then time `reps` pipelined dispatches with one final
     fetch.  Returns (seconds per call, last fetched sync array)."""
     out = fn(xd)
@@ -136,16 +136,16 @@ def main():
     soft = (2.0 * coded - 1.0).astype(np.float32) \
         + rng.normal(size=(B, T, 2)).astype(np.float32) * 0.25
     sd = jnp.asarray(soft)
-    vfn = lambda s: vp.decode_blocks(s, block=512, overlap=96,
+    vfn = lambda s: vp.decode_blocks(s, block=512, overlap=64,
                                      terminated=False)
     got = np.asarray(vfn(sd))
     ber = float((got != bits).mean())
     t0 = time.perf_counter()
-    for _ in range(10):
+    for _ in range(100):
         o = vfn(sd)
     np.asarray(o)
-    vdt = (time.perf_counter() - t0) / 10
-    log(f"  pallas viterbi (radix-2): {B*T/vdt/1e6:.1f} Mbit/s, "
+    vdt = (time.perf_counter() - t0) / 100
+    log(f"  pallas viterbi (radix-4): {B*T/vdt/1e6:.1f} Mbit/s, "
         f"ber={ber:.1e}")
 
     # mixed-rate auto dispatch path (runtime rate demux, same batch shape)

@@ -121,13 +121,9 @@ def main(argv=None) -> int:
         src = parse_dump(args.dump)
         input_rate = "40m" if args.msps == 40 else "20m"
         rate_sps = args.pace or float(args.msps) * 1e6
-        # one dump frame can span ~75k samples: size the window to hold it
-        # with overlap >= frame length so every frame lands fully inside
-        # at least one window
-        window = args.window or 1 << int(np.ceil(np.log2(len(src) + 4096)))
-        overlap = min(len(src) + 2048, window - window // 8)
         batch = args.batch or 4
         max_psdu = 1600
+        min_rate = 6.0
     else:
         if not args.synthetic:
             p.error("need --dump or --synthetic N")
@@ -135,21 +131,22 @@ def main(argv=None) -> int:
                                 phy=args.phy)
         input_rate = "11m" if args.phy == "b" else "20m"
         rate_sps = args.pace
-        # a 1 Mbps DSSS frame spans ~10k chips: the 11b window must hold
-        # a whole frame (one-frame-per-window decode)
-        window = args.window or (16384 if args.phy == "b" else 8192)
-        # hop must stay below the inter-frame gap (one frame decodes per
-        # window: first-burst lock); 11b gaps are >= 2400 chips
-        overlap = window - 2048 if args.phy == "b" else 5120
         batch = args.batch or 8
         max_psdu = 256
+        if args.mixed:
+            min_rate = {"a": 6.0, "b": 1.0, "n": 8.0}[args.phy]
+        else:
+            min_rate = rate
 
     from sora_tpu.util.config import load_config
 
+    # window/overlap auto-size from (max_psdu, min_rate) inside
+    # NodeConfig.__post_init__ — no per-source hand math (VERDICT r02)
     default_sps = 11e6 if args.phy == "b" else 20e6
     cfg = load_config(NodeConfig, path=args.config, overrides=dict(
-        phy=args.phy, window=window, batch=batch, overlap=overlap,
+        phy=args.phy, window=args.window, batch=batch, overlap=0,
         input_rate=input_rate, max_psdu=max_psdu, addr=addr,
+        min_rate_mbps=min_rate,
         mcs=(None if args.mixed or args.phy != "n" else int(rate)),
         sample_rate_sps=rate_sps or default_sps))
     if args.phy == "n":

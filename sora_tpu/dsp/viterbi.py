@@ -185,7 +185,7 @@ def decode_auto(soft_ab: jnp.ndarray, terminated: bool = True,
         from sora_tpu.ops import viterbi_pallas as vp
         T = soft_ab.shape[-2]
         if blockwise and T > 1024:
-            return vp.decode_blocks(soft_ab, block=512, overlap=96,
+            return vp.decode_blocks(soft_ab, block=512, overlap=64,
                                     terminated=terminated)
         block = -(-T // 8) * 8
         return vp.decode_blocks(soft_ab, block=block, overlap=0,

@@ -1,28 +1,39 @@
-"""Pallas TPU kernel: block-parallel K=7 Viterbi decode (radix-2 trellis).
+"""Pallas TPU kernel: block-parallel K=7 Viterbi decode (radix-4 trellis).
 
 This is the speed-of-light path for the RX hot loop, replacing the
 XLA-scan decoder in sora_tpu.dsp.viterbi (which spends multiple
-microseconds of loop overhead per trellis step).  Design:
+microseconds of loop overhead per trellis step).  Design, driven by
+microbenchmarks (tools/viterbi_sweep.py):
 
 * The coded stream is pre-framed into overlapping windows outside the
   kernel (same scheme as dsp.viterbi.decode_blocks: `overlap` warmup
   steps on each side, keep the middle `block` bits).
-* Layout inside the kernel: **states on sublanes, rows on lanes** —
-  path metrics are a (64, Bt) f32 tile, so every lane is a decode window
-  and the ACS runs on full VPU tiles.
-* **Radix-2 trellis collapsing**: two input bits per ACS iteration.  The
-  64-state K=7 trellis is sequential over time, so the per-iteration
-  *latency* (not FLOPs) bounds throughput; fusing two trellis steps
-  halves the iteration count for ~2x the (tiny) per-iteration vector
-  work.  Each target state t has four 2-step predecessors
-  s = 4*(t & 15) + j, j in 0..3, consuming input bits
-  b1 = (t>>4)&1 then b2 = t>>5 and emitting four coded bits whose signs
-  are compile-time tables built from iota.
+* Layout inside the kernel: **states on sublanes, windows on lanes** —
+  path metrics are a (64, Bt) f32 tile, so every lane is a decode window.
+* **The serial step count is the wall.**  Measured on v5e, a trellis
+  step costs ~1.4 us almost independent of its arithmetic (fori_loop
+  bodies of widely varying op counts all land at 1.1-1.5 us), so fewer,
+  fatter steps win: **radix-4 collapsing** consumes FOUR input bits per
+  ACS iteration (vs 2 for the previous radix-2 kernel, measured ~2x
+  slower end to end).  Each target state t has sixteen 4-step
+  predecessors s = 16*(t & 3) + j, j in 0..15.
+* **Quantized metrics with the branch index packed into the low bits**
+  — the TPU formulation of the reference's path-bit-in-metric-LSB trick
+  (viterbicore.h:292-420).  Soft inputs are quantized to integers
+  (round(32*x), clamped to +-127, the analogue of the reference's 8-bit
+  soft values), so all path metrics are exact small integers carried in
+  f32.  Candidates are computed as 16*(pm[pred] - bm) + j in ONE fused
+  MXU matmul (predecessor permutation, +-1 branch-metric sums, and the
+  index constant j are columns of a single (1024, 73) constant matrix
+  built from iota), and the 16-way argmin collapses to 15 elementwise
+  `min` ops — the j of the winner rides along in the low 4 bits, so no
+  comparison/select index tracking is needed at all.
 * The whole trellis walk happens inside one kernel invocation: the
-  forward ACS writes a 2-bit decision per pair-step into a VMEM scratch
-  (win/2, 64, Bt) int8, then the in-kernel traceback walks it backwards
-  with a one-hot sublane select.  Decisions never touch HBM — the
-  kernel's only output is the decoded middle bits.
+  forward ACS writes a 4-bit decision per step into a VMEM scratch
+  (win/4, 64, Bt) int8 — half the radix-2 footprint — then the
+  in-kernel traceback walks it backwards with a one-hot sublane select,
+  8 decoded bits (2 radix-4 steps) per iteration.  Decisions never
+  touch HBM — the kernel's only output is the decoded middle bits.
 
 Reference counterpart: the SSE trellis of viterbicore.h:269-556 (16
 states per vub register, BranchACS + smin, bounded traceback every 256
@@ -42,80 +53,79 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sora_tpu.phy import common as C
 
+# soft-input quantization: round(SOFT_SCALE*x) clamped to +-SOFT_CLAMP.
+# 8-bit soft values like the reference demap LUTs (dsp_demap.h); with
+# unit-normalized demap outputs the loss is far below 0.05 dB.
+SOFT_SCALE = 32.0
+SOFT_CLAMP = 127.0
+
+
+def _parity(v, g):
+    p = jnp.zeros_like(v)
+    for i in range(7):
+        if (g >> i) & 1:
+            p = p ^ ((v >> i) & 1)
+    return p
+
+
+def _acs_matrix():
+    """The fused radix-4 ACS constant M (1024, 73), built from iota
+    (pallas kernels cannot capture array constants).
+
+    Row r = 64j + t: candidate for target state t via 4-step predecessor
+    s = 16*(t&3) + j.  cand_packed = M @ [pm; s8; 1] =
+    16*(pm[s] - bm(t, j)) + j, where bm is the +-1-weighted sum of the
+    eight quantized soft values of the step (coded bits A/B at input
+    times 4m..4m+3) and the trailing column carries the packed index j.
+    """
+    r = jax.lax.broadcasted_iota(jnp.int32, (1024, 1), 0)
+    j = r >> 6
+    t = r & 63
+    s = 16 * (t & 3) + j
+    ci = jax.lax.broadcasted_iota(jnp.int32, (1024, 64), 1)
+    Mpm = 16.0 * (ci == s).astype(jnp.float32)
+    # input bits b1..b4 at times 4m..4m+3: t = (b4 b3 b2 b1 | s>>4)
+    bits = [(t >> 2) & 1, (t >> 3) & 1, (t >> 4) & 1, t >> 5]
+    cols = []
+    st = s
+    for b in bits:
+        reg = (b << 6) | st
+        cols.append(2 * _parity(reg, C.G0) - 1)
+        cols.append(2 * _parity(reg, C.G1) - 1)
+        st = (b << 5) | (st >> 1)
+    Ms = jnp.concatenate(cols, axis=1).astype(jnp.float32)   # (1024, 8)
+    return jnp.concatenate([Mpm, -16.0 * Ms, j.astype(jnp.float32)],
+                           axis=1)                           # (1024, 73)
+
 
 def _kernel(soft_ref, pm0_ref, pmf_ref, bits_ref, dec_ref, *, win, block,
             overlap, bt):
     """One tile: decode Bt windows of `win` steps, emit middle `block` bits.
 
-    soft_ref: (1, 4, win//2, Bt) f32 — planes (A@even t, B@even t,
-    A@odd t, B@odd t); pm0_ref: (1, 64, Bt) f32 initial metrics;
-    pmf_ref: (1, 64, Bt) f32 terminal metric bias; bits_ref:
-    (1, block, Bt) int8 out; dec_ref: (win//2, 64, Bt) int8 scratch.
+    soft_ref: (1, win//4, 8, Bt) f32 — radix-4 step m holds quantized
+    planes (A, B) x times (4m..4m+3); pm0_ref: (1, 64, Bt) f32 initial
+    metrics; pmf_ref: (1, 64, Bt) f32 terminal metric bias; bits_ref:
+    (1, block, Bt) int8 out; dec_ref: (win//4, 64, Bt) int8 4-bit
+    decision scratch.
     """
-    half = win // 2
+    nstep = win // 4
+    M = _acs_matrix()
+    ones = jnp.ones((1, bt), jnp.float32)
 
-    def _parity(v, g):
-        p = jnp.zeros_like(v)
-        for i in range(7):
-            if (g >> i) & 1:
-                p = p ^ ((v >> i) & 1)
-        return p
+    def step(m4, pm):
+        s8 = soft_ref[0, m4]                               # (8, Bt)
+        v = jnp.concatenate([pm, s8, ones], axis=0)        # (73, Bt)
+        cand = jnp.dot(M, v, preferred_element_type=jnp.float32)
+        c = cand.reshape(16, 64, bt)
+        m = c[0]
+        for j in range(1, 16):
+            m = jnp.minimum(m, c[j])                       # j rides in bits 0-3
+        mj = m - 16.0 * jnp.floor(m * (1.0 / 16.0))
+        pm_next = (m - mj) * (1.0 / 16.0)
+        dec_ref[m4] = mj.astype(jnp.int8)
+        return pm_next - pm_next[0:1, :]                   # renorm (exact)
 
-    # Radix-2 branch-sign tables from iota (pallas kernels cannot capture
-    # array constants): predecessor s = 4u + j reaches target
-    # t = (b2<<5) | (b1<<4) | u via registers reg1 = (b1<<6) | s and
-    # reg2 = (b2<<6) | (b1<<5) | (s>>1); each emits (A, B) = parity(reg & G).
-    u = jax.lax.broadcasted_iota(jnp.int32, (16, 1), 0)
-    sgn = {}                      # (j, b1, b2) -> [sA1, sB1, sA2, sB2]
-    for j in range(4):
-        s = 4 * u + j
-        for b1 in (0, 1):
-            reg1 = (b1 << 6) | s
-            s1 = (b1 << 5) | (s >> 1)
-            for b2 in (0, 1):
-                reg2 = (b2 << 6) | s1
-                sgn[(j, b1, b2)] = [
-                    (2 * _parity(reg1, C.G0) - 1).astype(jnp.float32),
-                    (2 * _parity(reg1, C.G1) - 1).astype(jnp.float32),
-                    (2 * _parity(reg2, C.G0) - 1).astype(jnp.float32),
-                    (2 * _parity(reg2, C.G1) - 1).astype(jnp.float32)]
-
-    # Quarter deinterleave as a fixed permutation matmul: row 16j + u of
-    # R selects state 4u + j (Mosaic has no strided sublane slice, but a
-    # (64,64)x(64,Bt) matmul is ~free on the MXU).
-    ri = jax.lax.broadcasted_iota(jnp.int32, (64, 64), 0)
-    ci = jax.lax.broadcasted_iota(jnp.int32, (64, 64), 1)
-    perm = 4 * (ri % 16) + ri // 16
-    R = (ci == perm).astype(jnp.float32)
-
-    def fwd(m, pm):
-        s4 = [soft_ref[0, p, pl.ds(m, 1), :] for p in range(4)]  # (1, Bt)
-        pm_q = jnp.dot(R, pm, preferred_element_type=jnp.float32)
-        groups = []
-        decs = []
-        for b2 in (0, 1):
-            for b1 in (0, 1):
-                cand = []
-                for j in range(4):
-                    sg = sgn[(j, b1, b2)]
-                    bm = (sg[0] * s4[0] + sg[1] * s4[1]
-                          + sg[2] * s4[2] + sg[3] * s4[3])
-                    cand.append(pm_q[16 * j: 16 * (j + 1), :] - bm)
-                m01 = jnp.minimum(cand[0], cand[1])
-                # decision arithmetic in i32 (Mosaic vectors support only
-                # i16/i32 adds); narrowed to i8 at the scratch store
-                d01 = (cand[0] > cand[1]).astype(jnp.int32)
-                m23 = jnp.minimum(cand[2], cand[3])
-                d23 = (cand[2] > cand[3]).astype(jnp.int32) + 2
-                take23 = m01 > m23
-                groups.append(jnp.minimum(m01, m23))
-                decs.append(jnp.where(take23, d23, d01))
-        pm_next = jnp.concatenate(groups, axis=0)        # rows t
-        pm_next = pm_next - pm_next[0:1, :]
-        dec_ref[m] = jnp.concatenate(decs, axis=0).astype(jnp.int8)
-        return pm_next
-
-    pm_final = jax.lax.fori_loop(0, half, fwd, pm0_ref[0])
+    pm_final = jax.lax.fori_loop(0, nstep, step, pm0_ref[0])
 
     # best end state per window (argmin over sublanes); pmf_ref biases the
     # terminal metrics (1e9 off-state-0 for terminated last windows)
@@ -123,24 +133,26 @@ def _kernel(soft_ref, pm0_ref, pmf_ref, bits_ref, dec_ref, *, win, block,
     iota = jax.lax.broadcasted_iota(jnp.int32, (64, bt), 0)
     mn = jnp.min(pm_final, axis=0, keepdims=True)
     s_end = jnp.min(jnp.where(pm_final <= mn, iota, 64),
-                    axis=0, keepdims=True)               # (1, Bt)
+                    axis=0, keepdims=True)                 # (1, Bt)
 
-    # Traceback in 4-pair chunks (8 decoded bits) so bit stores are
-    # sublane-aligned (int8 vector stores need 8-aligned row offsets).
-    def bwd_chunk(c, state):
-        m0 = 4 * (half // 4 - 1 - c)
+    # Traceback two radix-4 steps (8 decoded bits) per iteration so bit
+    # stores are sublane-aligned (int8 vector stores need 8-aligned rows).
+    npair = nstep // 2
+
+    def bwd_pair(cidx, state):
+        q = npair - 1 - cidx
         rows = [None] * 8
-        for k in range(3, -1, -1):
-            m = m0 + k
-            dec_m = dec_ref[m]                           # (64, Bt)
-            oh = iota == state
-            d = jnp.max(jnp.where(oh, dec_m.astype(jnp.int32), 0),
-                        axis=0, keepdims=True)
-            rows[2 * k] = ((state >> 4) & 1).astype(jnp.int8)   # b1
-            rows[2 * k + 1] = (state >> 5).astype(jnp.int8)     # b2
-            state = 4 * (state & 15) + d
-        chunk_bits = jnp.concatenate(rows, axis=0)       # (8, Bt)
-        t0 = 2 * m0
+        for k in (1, 0):
+            dec_m = dec_ref[2 * q + k].astype(jnp.int32)   # (64, Bt)
+            d = jnp.max(jnp.where(iota == state, dec_m, 0),
+                        axis=0, keepdims=True)             # (1, Bt)
+            rows[4 * k + 0] = ((state >> 2) & 1).astype(jnp.int8)   # b1
+            rows[4 * k + 1] = ((state >> 3) & 1).astype(jnp.int8)   # b2
+            rows[4 * k + 2] = ((state >> 4) & 1).astype(jnp.int8)   # b3
+            rows[4 * k + 3] = (state >> 5).astype(jnp.int8)         # b4
+            state = 16 * (state & 3) + d
+        chunk_bits = jnp.concatenate(rows, axis=0)         # (8, Bt)
+        t0 = 8 * q
         off = jnp.maximum(t0 - overlap, 0)
 
         @pl.when(jnp.logical_and(t0 >= overlap, t0 < overlap + block))
@@ -150,14 +162,14 @@ def _kernel(soft_ref, pm0_ref, pmf_ref, bits_ref, dec_ref, *, win, block,
         return state
 
     s0 = s_end.astype(jnp.int32)
-    jax.lax.fori_loop(0, half // 4, bwd_chunk, s0)
+    jax.lax.fori_loop(0, npair, bwd_pair, s0)
 
 
 @partial(jax.jit,
          static_argnames=("block", "overlap", "bt", "terminated",
                           "interpret"))
-def decode_blocks(soft_ab: jnp.ndarray, block: int = 512, overlap: int = 96,
-                  bt: int = 256, terminated: bool = False,
+def decode_blocks(soft_ab: jnp.ndarray, block: int = 512, overlap: int = 64,
+                  bt: int = 512, terminated: bool = False,
                   interpret: bool = False) -> jnp.ndarray:
     """Drop-in equivalent of dsp.viterbi.decode_blocks, Pallas-accelerated.
 
@@ -166,13 +178,15 @@ def decode_blocks(soft_ab: jnp.ndarray, block: int = 512, overlap: int = 96,
     warmup steps on both sides; the first window of each stream starts
     pinned in state 0 (the encoder reset state); with ``terminated`` the
     last window of each stream also ends pinned in state 0 (802.11 tail
-    bits).
+    bits).  Soft inputs are quantized to 8-bit integers internally (see
+    SOFT_SCALE); exact ties then resolve to the lowest branch index.
     """
     assert block % 8 == 0 and overlap % 8 == 0, \
         "traceback chunking needs 8-aligned block/overlap"
     lead = soft_ab.shape[:-2]
     T = soft_ab.shape[-2]
     s = soft_ab.reshape(-1, T, 2).astype(jnp.float32)
+    s = jnp.clip(jnp.round(s * SOFT_SCALE), -SOFT_CLAMP, SOFT_CLAMP)
     B = s.shape[0]
     nblk = -(-T // block)
     Tpad = nblk * block
@@ -185,12 +199,10 @@ def decode_blocks(soft_ab: jnp.ndarray, block: int = 512, overlap: int = 96,
     Rpad = -(-R // bt) * bt
     wins = wins.reshape(R, win, 2)
     wins = jnp.pad(wins, ((0, Rpad - R), (0, 0), (0, 0)))
-    # kernel layout: (tiles, 4, win//2, bt) — planes (A even, B even,
-    # A odd, B odd) so each radix-2 iteration is four plain dynamic row
-    # loads
-    wk = wins.reshape(Rpad // bt, bt, win // 2, 2, 2)
-    wk = jnp.transpose(wk, (0, 3, 4, 2, 1)).reshape(
-        Rpad // bt, 4, win // 2, bt)
+    # kernel layout: (tiles, win//4, 8, bt) — radix-4 step m holds the
+    # eight (A, B) values of input times 4m..4m+3 as one static tile
+    wk = wins.reshape(Rpad // bt, bt, win // 4, 8)
+    wk = jnp.transpose(wk, (0, 2, 3, 1))              # (tiles, m4, 8, bt)
     # initial metrics: uniform, except the first window of each stream
     # starts pinned in state 0
     row = jnp.arange(Rpad)
@@ -212,7 +224,7 @@ def decode_blocks(soft_ab: jnp.ndarray, block: int = 512, overlap: int = 96,
         kernel,
         grid=(Rpad // bt,),
         in_specs=[
-            pl.BlockSpec((1, 4, win // 2, bt), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, win // 4, 8, bt), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 64, bt), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -222,7 +234,7 @@ def decode_blocks(soft_ab: jnp.ndarray, block: int = 512, overlap: int = 96,
         out_specs=pl.BlockSpec((1, block, bt), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Rpad // bt, block, bt), jnp.int8),
-        scratch_shapes=[pltpu.VMEM((win // 2, 64, bt), jnp.int8)],
+        scratch_shapes=[pltpu.VMEM((win // 4, 64, bt), jnp.int8)],
         interpret=interpret,
     )(wk, pm0, pmf)
     # (tiles, block, bt) -> (Rpad, block) -> (B, Tpad) -> (B, T)

@@ -104,6 +104,64 @@ def synchronize(x: jnp.ndarray):
     return lts1, cfo, det
 
 
+@partial(jax.jit, static_argnames=("n_frames",))
+def synchronize_multi(x: jnp.ndarray, n_frames: int):
+    """Packet detect for up to ``n_frames`` frames per stream — the
+    re-arming RX loop of the reference (MAC11a_Receive decodes frame
+    after frame from one stream, mac.cpp:190-280; CCA re-arms via
+    Flush/Reset) recast as batched TOP-K detection: every preamble
+    onset in the window becomes an independent decode candidate, all
+    decoded in parallel.
+
+    Onsets are rising edges of the STS plateau metric over an ABSOLUTE
+    quality threshold (a relative-to-window-max rule would hide a weak
+    frame next to a strong one), with edges within 240 samples of a
+    prior hit suppressed (a plateau is ~100 samples of jittery highs;
+    two real preambles are >= 320 samples apart).
+
+    x: (B, N) complex64.  Returns (lts1, cfo, det), each (B*n_frames,)
+    candidate-major within stream (row b*n_frames + k = k-th onset of
+    stream b); missing candidates have det = 0 so the carrier-sense
+    gate drops them.
+    """
+    B, N = x.shape
+    K = n_frames
+    ac = x[:, 16:] * jnp.conj(x[:, :-16])
+    w = df.moving_sum(ac, 64)
+    en = df.moving_sum(jnp.abs(x[:, :-16]) ** 2, 64).astype(jnp.float32)
+    gate = en > 0.05 * jnp.max(en, axis=-1, keepdims=True)
+    m = jnp.where(gate, jnp.abs(w) / (en + 1e-9), 0.0)
+    valid = m[:, : max(1, N - 480)]
+    hit = valid >= max(0.75, CS_DET_THRESHOLD)
+    # suppress edges within 240 samples after a hit: prior[t] = number of
+    # hits in [t-240, t-1] via a cumsum difference
+    cs = jnp.cumsum(hit.astype(jnp.int32), axis=-1)
+    prior = (jnp.pad(cs, ((0, 0), (1, 0)))[:, :-1]
+             - jnp.pad(cs, ((0, 0), (241, 0)))[:, :-241])
+    edge = hit & (prior == 0)
+    eidx = jnp.cumsum(edge.astype(jnp.int32), axis=-1)
+    total = eidx[:, -1]                                   # (B,)
+    ks = jnp.arange(1, K + 1)[None, :, None]              # (1, K, 1)
+    sts = jnp.argmax(eidx[:, None, :] == ks, axis=-1)     # (B, K)
+    have = total[:, None] >= jnp.arange(1, K + 1)[None, :]
+    det = jnp.take_along_axis(valid, sts.reshape(B, K), axis=1)
+    det = jnp.where(have, det, 0.0)
+    wsel = jnp.take_along_axis(w, sts, axis=1)
+    cfo = jnp.angle(wsel).astype(jnp.float32) / 16.0      # (B, K)
+    # per-candidate LTS lock, on candidate-derotated copies
+    stsf = sts.reshape(B * K)
+    cfof = cfo.reshape(B * K)
+    y = jnp.repeat(x, K, axis=0) * jnp.exp(
+        -1j * cfof[:, None] * jnp.arange(N, dtype=jnp.float32))
+    c = jnp.abs(df.correlate_stream(y, _LTS_SYM))
+    c2 = c[:, :-64] + c[:, 64:]
+    pos = jnp.arange(c2.shape[-1])[None, :]
+    in_range = (pos >= stsf[:, None]) & (pos < stsf[:, None] + 512)
+    c2 = jnp.where(in_range, c2, 0.0)
+    lts1 = jnp.argmax(c2, axis=-1).astype(jnp.int32)
+    return lts1, cfof, det.reshape(B * K)
+
+
 @jax.jit
 def detect_only(x: jnp.ndarray):
     """Cheap carrier-sense pass: STS plateau metric + mean power per
@@ -359,11 +417,17 @@ def _auto_tables(max_psdu: int, nsym_cap: int = 1 << 30):
             nsym_max, t_max)
 
 
-@partial(jax.jit, static_argnames=("max_psdu", "input_rate"))
+@partial(jax.jit, static_argnames=("max_psdu", "input_rate", "n_frames"))
 def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
-                     input_rate: str = "20m"):
+                     input_rate: str = "20m", n_frames: int = 1):
     """Complete batched RX with per-frame runtime rate dispatch: a batch
     mixing all eight 802.11a rates decodes in ONE jit program.
+
+    With ``n_frames > 1`` every stream yields up to that many decode
+    candidates (one per detected preamble onset — the re-arming RX loop
+    of mac.cpp:190-280), and all output arrays have B*n_frames rows,
+    candidate-major within stream.  Saturated back-to-back traffic then
+    decodes completely from one window instead of one-frame-per-window.
 
     x: (B, N) complex64 streams (raw 40 Msps with ``input_rate="40m"``).
     Returns the rx_pipeline dict plus rate_mbps (B,) int32.
@@ -379,9 +443,12 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
     nsym_win = max(1, (int(x.shape[1]) - 208) // 80)
     mats, nsyms, ndbps_tab, nsym_max, t_max = _auto_tables(max_psdu,
                                                            nsym_win)
+    if n_frames > 1:
+        lts1, cfo, det = synchronize_multi(x, n_frames)
+        x = jnp.repeat(x, n_frames, axis=0)
+    else:
+        lts1, cfo, det = synchronize(x)
     B = x.shape[0]
-
-    lts1, cfo, det = synchronize(x)
     eq, snr_db = extract_symbols(x, lts1, cfo, nsym_max)
     rate_bits, length, sig_ok = decode_signal(eq[:, 0, :])
     length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)

@@ -299,6 +299,83 @@ def rx_pipeline(x: jnp.ndarray, rate_mbps: float, max_psdu: int = 256):
 
 
 @partial(jax.jit, static_argnames=("max_psdu",))
+def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = 256):
+    """Complete batched 802.11b RX with per-frame runtime rate dispatch:
+    a batch mixing all four DSSS rates decodes in ONE jit program.
+
+    The reference demuxes per frame at runtime through TBB11bRxRateSel
+    (PHY_11b.hpp:378-463).  The TPU formulation is the same one-hot
+    treatment as the 11a/11n auto pipelines: decode the data section
+    under ALL four rates (the 1/2 Mbps Barker paths are gathers +
+    differential demod, the CCK paths one codebook einsum each — all
+    cheap next to the shared synchronize correlation), then select each
+    frame's raw bit stream by its parsed SIGNAL byte.  Descramble,
+    byte-pack and FCS then run once on the selected stream, so the
+    whole batch stays on device with no host round trip — unlike the
+    two-phase host dispatcher this replaces in the live node.
+
+    x: (B, N) complex64 chips at 11 Msps.  Returns the rx_pipeline dict
+    plus rate_mbps (B,) float32.
+    """
+    Bsz = x.shape[0]
+    corr, t0, c = synchronize(x)
+    bits = _dbpsk_bits(corr)
+    desc = _descramble(bits)
+    pos, found = find_sfd(desc)
+    plcp = parse_plcp(desc, pos)
+    signal = plcp["signal"]
+
+    hdr_end = plcp["hdr_start"] + 48
+    data_chip0 = t0 + 11 * hdr_end
+    max_bits = max_psdu * 8
+    rates = (1, 2, 5.5, 11)
+    raws, nbits_r = [], []
+    for rate in rates:
+        if rate in (1, 2):
+            nsym = max_bits if rate == 1 else max_bits // 2
+            raws.append(_decode_psk(c, data_chip0, nsym, rate))
+        else:
+            nbps = 4 if rate == 5.5 else 8
+            raws.append(_decode_cck(x, c, data_chip0, max_bits // nbps,
+                                    rate))
+        nbits_r.append(_data_nbits(rate, plcp["length_us"],
+                                   plcp["service"]))
+    sel = jnp.stack(raws)                          # (4, B, max_bits)
+    onehot = jnp.stack([signal == B.SIGNAL_BYTE[r] for r in rates])
+    raw = jnp.sum(sel * onehot[:, :, None].astype(jnp.uint8), axis=0)
+    known = jnp.any(onehot, axis=0)
+    nbits = jnp.sum(jnp.stack(nbits_r) * onehot.astype(jnp.int32), axis=0)
+    nbytes = jnp.clip(nbits // 8, 0, max_psdu).astype(jnp.int32)
+    mbps = jnp.sum(jnp.asarray([r for r in rates], jnp.float32)[:, None]
+                   * onehot.astype(jnp.float32), axis=0)
+
+    # descrambler prehistory: the 7 raw header bits before the data
+    idx7 = hdr_end[:, None] - 7 + jnp.arange(7)[None, :]
+    prev7 = jnp.take_along_axis(bits, jnp.clip(idx7, 0, bits.shape[1] - 1),
+                                1)
+    data = _descramble(raw, prev7)
+    p2 = jnp.asarray((1 << np.arange(8)).astype(np.int32))
+    psdu = jnp.sum(data.reshape(Bsz, max_psdu, 8).astype(jnp.int32)
+                   * p2[None, None, :], axis=2).astype(jnp.uint8)
+
+    body_crc = dcrc.crc32_batch(psdu, jnp.maximum(nbytes - 4, 0))
+    fidx = jnp.clip(nbytes[:, None] - 4 + jnp.arange(4)[None, :], 0,
+                    max_psdu - 1)
+    fcs_bytes = jnp.take_along_axis(psdu, fidx, 1).astype(jnp.uint32)
+    rx_fcs = (fcs_bytes[:, 0] | (fcs_bytes[:, 1] << 8)
+              | (fcs_bytes[:, 2] << 16) | (fcs_bytes[:, 3] << 24))
+    fcs_ok = (body_crc == rx_fcs) & (nbytes >= 4)
+    plcp_ok = found & plcp["crc_ok"]
+    ok = plcp_ok & known & fcs_ok
+    return {"psdu": psdu, "ok": ok.astype(jnp.uint8),
+            "fcs_ok": fcs_ok.astype(jnp.uint8),
+            "plcp_ok": plcp_ok.astype(jnp.uint8),
+            "rate_mbps": mbps, "length": nbytes,
+            "signal": signal, "length_us": plcp["length_us"], "t0": t0,
+            "data_chip0": data_chip0.astype(jnp.int32)}
+
+
+@partial(jax.jit, static_argnames=("max_psdu",))
 def rx_plcp(x: jnp.ndarray, max_psdu: int = 256):
     """PLCP-only pass (rate-independent): returns signal/length/crc_ok so a
     host dispatcher can pick the data-rate pipeline — the TBB11bRxRateSel

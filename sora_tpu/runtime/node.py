@@ -51,16 +51,38 @@ from sora_tpu.mac import mgmt
 from sora_tpu.util.stopwatch import MacStopwatch
 
 
+def frame_span_samples(phy: str, psdu_len: int, rate: float,
+                       input_rate: str = "20m") -> int:
+    """Input-rate samples spanned by one frame of ``psdu_len`` bytes at
+    ``rate`` (Mbps for OFDM, Mbps for DSSS, MCS index for 11n)."""
+    if phy == "b":
+        from sora_tpu.phy.dot11b import tx as btx
+        chips = btx.waveform_len(rate, psdu_len)
+        mult = {"11m": 1.0, "40m": 40.0 / 11.0, "44m": 4.0}[input_rate]
+        return int(np.ceil(chips * mult))
+    if phy == "n":
+        from sora_tpu.phy import dot11n_common as NC
+        nsym = -(-(16 + 8 * psdu_len + 6) // NC.MCS[int(rate)].ndbps)
+        n = 720 + 80 * nsym          # L+HT preambles + HT-SIG + symbols
+    else:
+        from sora_tpu.phy import common as C
+        nsym = -(-(16 + 8 * psdu_len + 6) // C.RATES[int(rate)].ndbps)
+        n = 320 + 80 * (nsym + 1)    # preamble + SIGNAL + data symbols
+    return n * (2 if input_rate == "40m" else 1)
+
+
 @dataclass
 class NodeConfig:
     phy: str = "a"                # "a" | "b" | "n" (main.cpp:28-39 -b/-n)
-    window: int = 8192            # samples per decode window (at input rate)
+    window: int = 0               # samples per decode window (0 = auto)
     batch: int = 8                # windows per device batch
-    overlap: int = 2048           # window overlap >= max frame samples
+    overlap: int = 0              # window overlap (0 = auto >= frame span)
     input_rate: str = "20m"       # a/n: "20m"|"40m"; b: "11m"|"40m"|"44m"
     max_psdu: int = 1600
     rate_mbps: float | None = None  # None = auto dispatch (11a/11b)
     mcs: int | None = None        # 11n: None = mixed-MCS auto dispatch
+    min_rate_mbps: float | None = None  # slowest rate expected on air
+    max_frames_per_window: int = 0  # decode candidates per window (0 = auto)
     ack_rate: float | None = None  # None = per-phy default (6 OFDM / 2 DSSS)
     addr: bytes = b"\x02SORA1"
     sample_rate_sps: float = 20e6
@@ -79,6 +101,46 @@ class NodeConfig:
             # OFDM STS plateau quality in [0,1]; DSSS Barker fold ratio
             # in [~1, 11] (see phy.dot11b.rx.detect_only)
             self.detect_threshold = 1.7 if self.phy == "b" else 0.6
+        if self.min_rate_mbps is None:
+            self.min_rate_mbps = ({"a": 6, "b": 1, "n": 8}[self.phy]
+                                  if self.rate_mbps is None
+                                  else self.rate_mbps)
+        # ---- window/overlap auto-sizing (VERDICT r02: no per-source
+        # hand math).  A frame is guaranteed to land fully inside at
+        # least one window iff overlap >= its sample span; hop > 0 needs
+        # window > overlap.
+        span = frame_span_samples(
+            self.phy, self.max_psdu,
+            self.mcs if (self.phy == "n" and self.mcs is not None)
+            else self.min_rate_mbps, self.input_rate)
+        if self.overlap == 0:
+            self.overlap = -(-span // 1024) * 1024
+        if self.window == 0:
+            self.window = 1 << int(np.ceil(np.log2(
+                max(2 * self.overlap, 8192))))
+        if self.overlap >= self.window:
+            raise ValueError(
+                f"overlap {self.overlap} must be < window {self.window}")
+        if self.overlap < span:
+            import warnings
+            warnings.warn(
+                f"overlap {self.overlap} < max frame span {span} samples "
+                f"({self.max_psdu}B at rate {self.min_rate_mbps}): a "
+                "max-size min-rate frame straddling a window boundary "
+                "would be lost; raise overlap/window, lower max_psdu, or "
+                "set min_rate_mbps to the slowest rate actually on air",
+                stacklevel=2)
+        if self.max_frames_per_window == 0:
+            if self.phy == "a" and self.rate_mbps is None:
+                # enough candidates for back-to-back min-size data
+                # frames over one hop, capped to keep decode cost sane
+                hop = self.window - self.overlap
+                min_span = frame_span_samples(self.phy, 28, 54,
+                                              self.input_rate)
+                self.max_frames_per_window = max(
+                    1, min(8, -(-hop // max(1, min_span))))
+            else:
+                self.max_frames_per_window = 1
 
 
 @dataclass
@@ -146,9 +208,6 @@ class TxSink:
         self.fired.append((time.perf_counter(), len(wave)))
         for r in self.rings:
             r.write(np.asarray(wave, np.complex64))
-
-
-_B_RATES = (1, 2, 5.5, 11)
 
 
 class StreamingNode:
@@ -254,7 +313,8 @@ class StreamingNode:
         cfg = self.cfg
         if cfg.rate_mbps is None:
             self._decode = lambda xb: arx.rx_pipeline_auto(
-                xb, max_psdu=cfg.max_psdu, input_rate=cfg.input_rate)
+                xb, max_psdu=cfg.max_psdu, input_rate=cfg.input_rate,
+                n_frames=cfg.max_frames_per_window)
         else:
             self._decode = lambda xb: arx.rx_pipeline(
                 xb, int(cfg.rate_mbps), max_psdu=cfg.max_psdu,
@@ -270,7 +330,6 @@ class StreamingNode:
 
     def _build_b(self):
         from sora_tpu.phy.dot11b import rx as brx
-        from sora_tpu.phy import dot11b_common as B
 
         cfg = self.cfg
 
@@ -300,48 +359,20 @@ class StreamingNode:
                                       max_psdu=max_psdu)
                 return ("b_known", out, rate)
         else:
-            # two-phase auto dispatch (TBB11bRxRateSel, PHY_11b.hpp:378):
-            # rate-independent PLCP parse picks which per-rate programs
-            # run; synchronous (fetches the PLCP pass) by construction
+            # one-jit runtime rate dispatch (TBB11bRxRateSel,
+            # PHY_11b.hpp:378-463): all four rates decode on device with
+            # a per-frame one-hot select, so the async double buffer
+            # stays intact (no host fetch between PLCP and data)
             def decode(xb):
-                xc = to_chips(xb)
-                head = {k: np.asarray(v) for k, v in
-                        brx.rx_plcp(xc, max_psdu=max_psdu).items()}
-                plcp_ok = head["plcp_ok"].astype(bool)
-                signal = head["signal"]
-                Bsz = len(plcp_ok)
-                out = {"psdu": np.zeros((Bsz, max_psdu), np.uint8),
-                       "ok": np.zeros(Bsz, np.uint8),
-                       "fcs_ok": np.zeros(Bsz, np.uint8),
-                       "sig_ok": plcp_ok.astype(np.uint8),
-                       "length": np.zeros(Bsz, np.int32),
-                       "pos": np.zeros(Bsz, np.int32),
-                       "rate_mbps": np.zeros(Bsz, np.float32)}
-                for rate in _B_RATES:
-                    mask = plcp_ok & (signal == B.SIGNAL_BYTE[rate])
-                    if not mask.any():
-                        continue
-                    o = {k: np.asarray(v) for k, v in
-                         brx.rx_pipeline(xc, rate,
-                                         max_psdu=max_psdu).items()}
-                    for k in ("psdu", "ok", "fcs_ok", "length"):
-                        out[k][mask] = o[k][mask]
-                    out["pos"][mask] = o["data_chip0"][mask]
-                    out["rate_mbps"][mask] = rate
-                return ("host", out)
+                out = dict(brx.rx_pipeline_auto(to_chips(xb),
+                                                max_psdu=max_psdu))
+                out["sig_ok"] = out.pop("plcp_ok")
+                out["pos"] = out.pop("data_chip0")
+                return out
 
         self._decode = decode
         self._norm_b = norm
         self._detect = lambda xb: brx.detect_only(to_chips(xb))
-        if cfg.rate_mbps is None:
-            # warm_up must compile every per-rate program: on a zero
-            # batch plcp_ok is all-false so `decode` alone would leave
-            # them cold and the first live frame at each rate would pay
-            # a full jit compile mid-stream (tripping the watchdog)
-            self._warm_extra = [
-                (lambda xb, r=r: brx.rx_pipeline(to_chips(xb), r,
-                                                 max_psdu=max_psdu)["ok"])
-                for r in _B_RATES]
 
     def _build_n(self):
         from sora_tpu.phy.dot11a import rx as arx
@@ -634,29 +665,36 @@ class StreamingNode:
     def _dispatch(self, out: dict, metas: list, det: np.ndarray) -> None:
         cfg = self.cfg
         sub = self._pos_scale()
+        nrows = len(out["ok"])
+        K = max(1, nrows // max(1, len(metas)))   # decode cands per window
         cs_ok = out.get("cs_ok")
         if cs_ok is None:
-            cs_ok = (det >= cfg.detect_threshold).astype(np.uint8)
+            cs_ok = np.repeat((det >= cfg.detect_threshold), K
+                              ).astype(np.uint8)
         # carrier sense for the TX FSM: any window with energy marks the
         # medium busy through its end (window-granular CCA)
-        for i in range(len(metas)):
+        for i in range(nrows):
             if cs_ok[i]:
                 self._busy_until = max(self._busy_until,
-                                       metas[i] + cfg.window)
+                                       metas[i // K] + cfg.window)
         anchor = out.get("pos", out.get("lts1"))
-        for i in range(len(metas)):
+        for i in range(nrows):
             if not out["ok"][i]:
                 if not cs_ok[i]:
-                    self.stats.cs_timeout += 1
-                elif not out["sig_ok"][i]:
-                    self.stats.plcp_fail += 1
+                    # only count air time once per window, not per
+                    # candidate slot (empty slots are not cs timeouts)
+                    if i % K == 0:
+                        self.stats.cs_timeout += 1
                 else:
-                    self.stats.crc_fail += 1
+                    if not out["sig_ok"][i]:
+                        self.stats.plcp_fail += 1
+                    else:
+                        self.stats.crc_fail += 1
                 continue
             n = int(out["length"][i])
             psdu = bytes(out["psdu"][i][:n])
             # dedup across overlapping windows by absolute sample position
-            pos = metas[i] + int(int(anchor[i]) * sub)
+            pos = metas[i // K] + int(int(anchor[i]) * sub)
             key = psdu[:24]          # header incl. seq_ctrl
             # a true duplicate (same frame seen through two overlapping
             # windows) lands at the SAME absolute stream position, up to

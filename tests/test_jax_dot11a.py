@@ -137,3 +137,39 @@ def test_auto_dispatch_rejects_noise(rng):
     out = jrx.rx_pipeline_auto(jnp.asarray(noise), max_psdu=256)
     assert not np.asarray(out["ok"]).any()
     assert not np.asarray(out["cs_ok"]).any()
+
+
+def test_rx_auto_multi_frame_per_window(rng):
+    """n_frames>1 decodes several back-to-back frames from ONE stream —
+    the re-arming RX loop of the reference (mac.cpp:190-280)."""
+
+    rates = [54, 24, 6]
+    psdus = [fr.build_data_frame(bytes(rng.integers(0, 256, 40,
+                                                    dtype=np.uint8)),
+                                 seq=i) for i in range(3)]
+    waves = [g.modulate(p, r).astype(np.complex64)
+             for p, r in zip(psdus, rates)]
+    gap = 60                              # less than any sane hop
+    x = np.zeros((1, 8192), np.complex64)
+    off = 30
+    starts = []
+    for w in waves:
+        x[0, off: off + len(w)] = w
+        starts.append(off)
+        off += len(w) + gap
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)
+          ).astype(np.complex64) * 0.02
+    import jax.numpy as jnp
+    out = jrx.rx_pipeline_auto(jnp.asarray(x), max_psdu=256, n_frames=4)
+    ok = np.asarray(out["ok"])
+    assert ok.sum() == 3, (ok, np.asarray(out["det"]))
+    got_rates = [int(r) for r, o in zip(np.asarray(out["rate_mbps"]), ok)
+                 if o]
+    assert got_rates == rates
+    psdu = np.asarray(out["psdu"])
+    length = np.asarray(out["length"])
+    hits = np.flatnonzero(ok)
+    for i, k in enumerate(hits):
+        assert bytes(psdu[k][:length[k]]) == psdus[i]
+    # 4th candidate is empty air
+    assert not ok[3]

@@ -101,3 +101,33 @@ def test_rx_wrong_static_rate_flagged(rng):
     assert not np.asarray(out["ok"])[0]
     assert not np.asarray(out["sig_rate_ok"])[0]
     assert np.asarray(out["plcp_ok"])[0]          # header still parses
+
+
+def test_rx_pipeline_auto_mixed_rates(rng):
+    """One jit program decodes a batch mixing all four DSSS rates
+    (TBB11bRxRateSel parity, PHY_11b.hpp:378-463)."""
+    psdus = _frames(rng, 4, 36)
+    plen = len(psdus[0])
+    nchips = max(jtx.waveform_len(r, plen) for r in RATES) + 300
+    x = np.zeros((4, nchips), np.complex64)
+    for i, (p, rate) in enumerate(zip(psdus, RATES)):
+        w = g.modulate(p, rate).astype(np.complex64)
+        x[i, 40 + 5 * i: 40 + 5 * i + len(w)] = w
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)) \
+        .astype(np.complex64) * 0.02
+    out = jrx.rx_pipeline_auto(jnp.asarray(x), max_psdu=plen)
+    ok = np.asarray(out["ok"])
+    assert ok.all(), (ok, np.asarray(out["plcp_ok"]))
+    assert np.allclose(np.asarray(out["rate_mbps"]), RATES)
+    psdu = np.asarray(out["psdu"])
+    length = np.asarray(out["length"])
+    for i, p in enumerate(psdus):
+        assert length[i] == plen
+        assert bytes(psdu[i][:plen]) == p, i
+
+
+def test_rx_pipeline_auto_noise_rejected(rng):
+    x = (rng.normal(size=(2, 4000)) + 1j * rng.normal(size=(2, 4000)))
+    out = jrx.rx_pipeline_auto(jnp.asarray(x.astype(np.complex64)),
+                               max_psdu=64)
+    assert not np.asarray(out["ok"]).any()

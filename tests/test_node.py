@@ -354,3 +354,31 @@ def test_txsink_mimo_duplicates_to_both_rings():
     for r, vs in zip(rings, vss):
         assert len(r.read(vs, 1000)) == 100
         r.close()
+
+
+def test_node_dense_frames_within_hop(rng):
+    """Frames separated by much less than the hop all decode — the
+    re-arming RX loop analogue (mac.cpp:190-280): multi-frame-per-window
+    top-K candidates, no per-source hop/overlap hand-tuning."""
+    ring = RxRing(capacity=1 << 20)
+    # auto window/overlap/K from (max_psdu=128, min_rate=12):
+    # frames are ~120 samples apart, far below any hop
+    cfg = NodeConfig(max_psdu=128, min_rate_mbps=12, addr=ADDR,
+                     batch=2, rate_mbps=None)
+    assert cfg.max_frames_per_window > 1
+    node = StreamingNode(ring, cfg, tx_sink=TxSink())
+    n = 12
+    x, psdus = _traffic(n, rng, rate=24, gap=120)
+    ring.write(x)
+    _drain(ring, node)
+    assert node.stats.frame_ok == n, node.report()
+    assert len(node.rx_payloads) == n
+    ring.close()
+
+
+def test_node_config_autosize_and_span_warning(rng):
+    cfg = NodeConfig(max_psdu=256, min_rate_mbps=6)
+    # span of a 256-byte 6 Mbps frame is 7360 samples
+    assert cfg.overlap >= 7360 and cfg.window > cfg.overlap
+    with pytest.warns(UserWarning, match="frame span"):
+        NodeConfig(window=4096, overlap=1024, max_psdu=1600)

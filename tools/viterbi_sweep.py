@@ -36,9 +36,9 @@ def main() -> int:
         + rng.normal(size=(B, T, 2)).astype(np.float32) * 0.25
     sd = jnp.asarray(soft)
 
-    configs = [(512, 96, 256), (512, 64, 256), (1024, 64, 256),
-               (512, 96, 512), (512, 64, 512), (1024, 64, 512),
-               (2048, 64, 256), (1024, 96, 1024)]
+    configs = [(512, 64, 256), (512, 64, 512), (512, 64, 768),
+               (1024, 64, 512), (768, 64, 512), (512, 32, 512),
+               (1024, 64, 768), (2048, 64, 512)]
     for block, ov, bt in configs:
         try:
             fn = lambda s: vp.decode_blocks(s, block=block, overlap=ov,
@@ -48,10 +48,11 @@ def main() -> int:
             tc = time.perf_counter() - t0
             ber = float((got != bits).mean())
             t0 = time.perf_counter()
-            for _ in range(10):
+            reps = 100
+            for _ in range(reps):
                 o = fn(sd)
             np.asarray(o)
-            dt = (time.perf_counter() - t0) / 10
+            dt = (time.perf_counter() - t0) / reps
             print(f"block={block:5d} ov={ov:3d} bt={bt:4d}: "
                   f"{B*T/dt/1e6:8.1f} Mbit/s  ber={ber:.1e}  "
                   f"compile+first={tc:.1f}s", flush=True)
