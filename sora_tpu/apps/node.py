@@ -72,6 +72,52 @@ def synthetic_traffic(n_frames: int, addr: bytes, mixed: bool,
     return x
 
 
+_A_RATES = [6, 9, 12, 18, 24, 36, 48, 54]
+_B_RATES = [1, 2, 5.5, 11]
+
+
+def _process_kb(node, phy: str) -> bool:
+    """Non-blocking stdin control — the reference UI loop's live
+    reconfiguration (process_kb, dot11main.cpp:148-204).  Keys:
+    1-8 fixed rate/MCS, 0 auto dispatch, t/T detect threshold down/up,
+    p promiscuous toggle, s status page, q quit.  Returns False on q."""
+    import select
+
+    while True:
+        ready, _, _ = select.select([sys.stdin], [], [], 0)
+        if not ready:
+            return True
+        ch = sys.stdin.read(1)
+        if not ch:
+            return True
+        if ch == "q":
+            return False
+        if ch == "s":
+            _log(node.report())
+        elif ch == "p":
+            node.reconfigure(promiscuous=not node.cfg.promiscuous)
+            _log(f"promiscuous={node.cfg.promiscuous}")
+        elif ch in "tT":
+            thr = node.cfg.detect_threshold * (1.25 if ch == "T" else 0.8)
+            node.reconfigure(detect_threshold=thr)
+            _log(f"detect_threshold={thr:.3f}")
+        elif ch == "0":
+            node.reconfigure(rate_mbps=None, mcs=None, warm=True)
+            _log("rate=auto")
+        elif ch.isdigit():
+            i = int(ch) - 1
+            if phy == "b":
+                if i < len(_B_RATES):
+                    node.reconfigure(rate_mbps=_B_RATES[i], warm=True)
+                    _log(f"rate={_B_RATES[i]} Mbps")
+            elif phy == "n":
+                node.reconfigure(mcs=8 + i, warm=True)
+                _log(f"mcs={8 + i}")
+            elif i < len(_A_RATES):
+                node.reconfigure(rate_mbps=_A_RATES[i], warm=True)
+                _log(f"rate={_A_RATES[i]} Mbps")
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="sora_tpu.apps.node",
                                 description=__doc__.split("\n")[0])
@@ -100,6 +146,10 @@ def main(argv=None) -> int:
                    help="samples per window (0 = auto)")
     p.add_argument("--status-every", type=float, default=0.0,
                    help="print the status page every S seconds")
+    p.add_argument("--keys", action="store_true",
+                   help="interactive stdin control: 1-8 rate/MCS, 0 auto, "
+                        "t/T threshold, p promiscuous, s status, q quit "
+                        "(process_kb, dot11main.cpp:148-204)")
     p.add_argument("--config", default=None,
                    help="NodeConfig JSON file (layered under env "
                         "SORA_* and explicit flags; util/config.py)")
@@ -176,6 +226,8 @@ def main(argv=None) -> int:
             if time.perf_counter() >= t_status:
                 _log(node.stats.status_page())
                 t_status = time.perf_counter() + args.status_every
+            if args.keys and not _process_kb(node, args.phy):
+                break
     finally:
         for r in rings:
             r.stop()

@@ -42,7 +42,7 @@ _LTS_SIGN = np.zeros(64, dtype=np.float32)
 _LTS_SIGN[C.OCC_BINS] = C.LTS_FREQ
 _OCC_MASK = (_LTS_SIGN != 0)
 
-MAX_PSDU = 1600           # bytes; reference MTU is 2500 (PHY_11a.hpp:571)
+MAX_PSDU = 2500           # bytes; reference MTU parity (PHY_11a.hpp:571)
 
 # STS autocorrelation plateau quality below which the air is considered
 # idle — the vectorized analogue of TCCA11a's no-energy early exit
@@ -448,8 +448,25 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
         x = jnp.repeat(x, n_frames, axis=0)
     else:
         lts1, cfo, det = synchronize(x)
-    B = x.shape[0]
     eq, snr_db = extract_symbols(x, lts1, cfo, nsym_max)
+    out = auto_tail(eq, det, max_psdu, nsym_win)
+    out.update({"snr_db": snr_db, "lts1": lts1, "cfo": cfo})
+    return out
+
+
+@partial(jax.jit, static_argnames=("max_psdu", "nsym_cap"))
+def auto_tail(eq: jnp.ndarray, det: jnp.ndarray, max_psdu: int,
+              nsym_cap: int):
+    """SIGNAL parse + mixed-rate data decode from equalized carriers —
+    the shared back half of :func:`rx_pipeline_auto`, also driven
+    batch-parallel by the sharded pipeline (parallel.shard).
+
+    eq: (B, nsym_max+1, 48) equalized carriers (row 0 = SIGNAL);
+    det: (B,) carrier-sense metric.
+    """
+    mats, nsyms, ndbps_tab, nsym_max, t_max = _auto_tables(max_psdu,
+                                                           nsym_cap)
+    B = eq.shape[0]
     rate_bits, length, sig_ok = decode_signal(eq[:, 0, :])
     length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
     rate_idx = jnp.asarray(_BITS_TO_IDX)[jnp.clip(rate_bits, 0, 15)]
@@ -487,8 +504,7 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
     return {"psdu": psdu, "fcs_ok": fcs_ok.astype(jnp.uint8),
             "sig_ok": sig_ok.astype(jnp.uint8), "ok": ok.astype(jnp.uint8),
             "cs_ok": cs_ok.astype(jnp.uint8), "det": det,
-            "rate_mbps": mbps, "length": length, "snr_db": snr_db,
-            "lts1": lts1, "cfo": cfo}
+            "rate_mbps": mbps, "length": length}
 
 
 # =============================================================================

@@ -438,10 +438,22 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU):
     nsym_win = max(1, (int(x.shape[-1]) - _OFF_DATA) // 80)
     mats, nsyms, ndbps_tab, nsym_max, t_max = _auto_tables_n(max_psdu,
                                                              nsym_win)
-    B = x.shape[0]
-
     lts1, cfo, det = synchronize(x)
     sig_eq, xd, snr_db = extract_symbols(x, lts1, cfo, nsym_max)
+    out = auto_tail(sig_eq, xd, det, max_psdu, nsym_win)
+    out.update({"snr_db": snr_db, "lts1": lts1, "cfo": cfo})
+    return out
+
+
+@partial(jax.jit, static_argnames=("max_psdu", "nsym_cap"))
+def auto_tail(sig_eq: jnp.ndarray, xd: jnp.ndarray, det: jnp.ndarray,
+              max_psdu: int, nsym_cap: int):
+    """L-SIG/HT-SIG parse + mixed-MCS ZF decode from detected symbols —
+    the shared back half of :func:`rx_pipeline_auto`, also driven
+    batch-parallel by the sharded pipeline (parallel.shard)."""
+    mats, nsyms, ndbps_tab, nsym_max, t_max = _auto_tables_n(max_psdu,
+                                                             nsym_cap)
+    B = sig_eq.shape[0]
     lsig_ok = decode_lsig(sig_eq[:, 0])
     mcs_rx, length, htsig_ok = decode_htsig(sig_eq[:, 1:])
     length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
@@ -481,8 +493,7 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU):
     ok = sig_ok & known & fcs_ok
     return {"psdu": psdu, "fcs_ok": fcs_ok.astype(jnp.uint8),
             "sig_ok": sig_ok.astype(jnp.uint8), "ok": ok.astype(jnp.uint8),
-            "mcs": mcs_rx.astype(jnp.int32), "length": length,
-            "snr_db": snr_db, "lts1": lts1, "cfo": cfo, "det": det}
+            "mcs": mcs_rx.astype(jnp.int32), "length": length, "det": det}
 
 
 # =============================================================================

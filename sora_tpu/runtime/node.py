@@ -78,7 +78,7 @@ class NodeConfig:
     batch: int = 8                # windows per device batch
     overlap: int = 0              # window overlap (0 = auto >= frame span)
     input_rate: str = "20m"       # a/n: "20m"|"40m"; b: "11m"|"40m"|"44m"
-    max_psdu: int = 1600
+    max_psdu: int = 2500  # reference MTU (PHY_11a.hpp:571)
     rate_mbps: float | None = None  # None = auto dispatch (11a/11b)
     mcs: int | None = None        # 11n: None = mixed-MCS auto dispatch
     min_rate_mbps: float | None = None  # slowest rate expected on air
@@ -113,11 +113,16 @@ class NodeConfig:
             self.phy, self.max_psdu,
             self.mcs if (self.phy == "n" and self.mcs is not None)
             else self.min_rate_mbps, self.input_rate)
-        if self.overlap == 0:
+        auto_overlap = self.overlap == 0
+        if auto_overlap:
             self.overlap = -(-span // 1024) * 1024
         if self.window == 0:
             self.window = 1 << int(np.ceil(np.log2(
                 max(2 * self.overlap, 8192))))
+        if auto_overlap and self.overlap >= self.window:
+            # an explicit small window caps the auto overlap; the span
+            # warning below still fires
+            self.overlap = self.window - max(1, self.window // 4)
         if self.overlap >= self.window:
             raise ValueError(
                 f"overlap {self.overlap} must be < window {self.window}")
@@ -247,6 +252,7 @@ class StreamingNode:
         self._seen_order: list = []
         self._decode = None
         self._detect = None
+        self._prog_table: dict = {}   # (phy, rate, mcs) -> (decode, detect)
         # -- TX MAC state (MAC11_Send + send thread, mac.cpp:293-345,
         # 547-610): queue -> DIFS -> backoff -> fire -> ACK await -> BEB.
         # The FSM is clocked by consumed stream samples (_abs_off), the
@@ -298,35 +304,73 @@ class StreamingNode:
 
     # -- device programs -------------------------------------------------------
 
-    def _build_programs(self):
+    def _prog_key(self):
         cfg = self.cfg
-        if cfg.phy == "a":
-            self._build_a()
-        elif cfg.phy == "b":
-            self._build_b()
-        else:
-            self._build_n()
+        return (cfg.phy, cfg.rate_mbps, cfg.mcs)
+
+    def _build_programs(self):
+        """Install the decode/detect programs for the current config,
+        from the pre-built program table when available — live
+        reconfiguration (process_kb, dot11main.cpp:148-204) then costs a
+        dict lookup, not a rebuild."""
+        key = self._prog_key()
+        prog = self._prog_table.get(key)
+        if prog is None:
+            cfg = self.cfg
+            if cfg.phy == "a":
+                prog = self._build_a()
+            elif cfg.phy == "b":
+                prog = self._build_b()
+            else:
+                prog = self._build_n()
+            self._prog_table[key] = prog
+        self._decode, self._detect = prog
+
+    def reconfigure(self, warm: bool = False, **changes):
+        """Switch rate / MCS / PHY / thresholds on a running node — the
+        interactive runtime reconfig of the reference UI loop
+        (dot11main.cpp:148-204).  Structural knobs (phy, rate_mbps, mcs)
+        swap in a decode program from the table (building + optionally
+        warming it on first use); scalar knobs apply immediately.
+        In-flight batches finish under the old program."""
+        allowed = {"phy", "rate_mbps", "mcs", "detect_threshold",
+                   "promiscuous", "data_rate", "ack_rate"}
+        bad = set(changes) - allowed
+        if bad:
+            raise ValueError(f"cannot reconfigure {sorted(bad)} live "
+                             f"(allowed: {sorted(allowed)})")
+        if changes.get("phy") == "n" and len(self.rings) != 2:
+            raise ValueError("phy='n' needs two RX rings")
+        if "phy" in changes and changes["phy"] not in ("a", "b", "n"):
+            raise ValueError(f"phy must be a|b|n")
+        structural = {"phy", "rate_mbps", "mcs"} & set(changes)
+        for k, v in changes.items():
+            setattr(self.cfg, k, v)
+        if structural:
+            self._build_programs()
+            if warm:
+                self.warm_up()
 
     def _build_a(self):
         from sora_tpu.phy.dot11a import rx as arx
 
         cfg = self.cfg
         if cfg.rate_mbps is None:
-            self._decode = lambda xb: arx.rx_pipeline_auto(
-                xb, max_psdu=cfg.max_psdu, input_rate=cfg.input_rate,
-                n_frames=cfg.max_frames_per_window)
+            decode = lambda xb, m=cfg.max_psdu, ir=cfg.input_rate, \
+                k=cfg.max_frames_per_window: arx.rx_pipeline_auto(
+                    xb, max_psdu=m, input_rate=ir, n_frames=k)
         else:
-            self._decode = lambda xb: arx.rx_pipeline(
-                xb, int(cfg.rate_mbps), max_psdu=cfg.max_psdu,
-                input_rate=cfg.input_rate)
+            decode = lambda xb, r=int(cfg.rate_mbps), m=cfg.max_psdu, \
+                ir=cfg.input_rate: arx.rx_pipeline(
+                    xb, r, max_psdu=m, input_rate=ir)
 
-        def detect(xb):
-            if cfg.input_rate == "40m":
+        def detect(xb, ir=cfg.input_rate):
+            if ir == "40m":
                 from sora_tpu.phy import frontend as fe
                 xb = fe.ofdm_frontend_40m(xb)
             return arx.detect_only(xb)
 
-        self._detect = detect
+        return decode, detect
 
     def _build_b(self):
         from sora_tpu.phy.dot11b import rx as brx
@@ -370,9 +414,8 @@ class StreamingNode:
                 out["pos"] = out.pop("data_chip0")
                 return out
 
-        self._decode = decode
         self._norm_b = norm
-        self._detect = lambda xb: brx.detect_only(to_chips(xb))
+        return decode, (lambda xb: brx.detect_only(to_chips(xb)))
 
     def _build_n(self):
         from sora_tpu.phy.dot11a import rx as arx
@@ -389,16 +432,16 @@ class StreamingNode:
             return xb
 
         if cfg.mcs is not None:
-            self._decode = lambda xb: nrx.rx_pipeline(
-                front(xb), cfg.mcs, max_psdu=cfg.max_psdu)
+            decode = lambda xb, mc=int(cfg.mcs), m=cfg.max_psdu: \
+                nrx.rx_pipeline(front(xb), mc, max_psdu=m)
         else:
-            self._decode = lambda xb: nrx.rx_pipeline_auto(
-                front(xb), max_psdu=cfg.max_psdu)
+            decode = lambda xb, m=cfg.max_psdu: \
+                nrx.rx_pipeline_auto(front(xb), max_psdu=m)
         # cheap gate on the antenna SUM — the real sync antenna-sums too
         # (phy/dot11n/rx.py synchronize_mimo), so a fade on one antenna
         # cannot gate out a frame the other still carries
-        self._detect = lambda xb: arx.detect_only(
-            front(xb).sum(axis=1) * 0.5)
+        return decode, (lambda xb: arx.detect_only(
+            front(xb).sum(axis=1) * 0.5))
 
     def warm_up(self) -> None:
         """Compile the device programs on a zero batch (dot11main's graph

@@ -86,3 +86,24 @@ def test_puncture_depuncture_roundtrip(numden, rng):
 def test_fcs_table_matches_zlib(rng):
     data = rng.integers(0, 256, 100, dtype=np.uint8)
     assert fr.fcs32_np(data) == fr.fcs32(data.tobytes())
+
+
+def test_54mbps_40msps_dump_fixture():
+    """Top-rate end-to-end coverage: a self-generated 40 Msps 64-QAM
+    capture (tests/data/fsample54.dmp, 1500-byte PSDU at 54 Mbps)
+    decodes through the raw-capture device front-end path — the corpus
+    companion to the reference's 6 Mbps fsample-6.dmp (SURVEY §4)."""
+    from sora_tpu.io.dumpfile import load_dump
+    from sora_tpu.phy.dot11a import rx as jrx
+
+    raw = load_dump("tests/data/fsample54.dmp")
+    res = jrx.demodulate(raw, input_rate="40m")
+    assert res.ok, res.reason
+    assert res.rate_mbps == 54
+    assert res.length == 1500
+    # golden numpy chain agrees byte-for-byte (after host 2:1 decimation)
+    import numpy as np
+    x = raw.astype(np.complex128)
+    x -= x.mean()
+    gold = g.demodulate(x[0::2])
+    assert gold.ok and gold.psdu == res.psdu

@@ -382,3 +382,32 @@ def test_node_config_autosize_and_span_warning(rng):
     assert cfg.overlap >= 7360 and cfg.window > cfg.overlap
     with pytest.warns(UserWarning, match="frame span"):
         NodeConfig(window=4096, overlap=1024, max_psdu=1600)
+
+
+def test_node_runtime_reconfigure(rng):
+    """Live rate/threshold switching via the program table — the
+    process_kb runtime reconfig (dot11main.cpp:148-204)."""
+    ring = RxRing(capacity=1 << 20)
+    cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=256,
+                     addr=ADDR, rate_mbps=None)
+    node = StreamingNode(ring, cfg, tx_sink=TxSink())
+    x, _ = _traffic(2, rng, rate=12)
+    ring.write(x)
+    _drain(ring, node)
+    assert node.stats.frame_ok == 2
+    # switch to a fixed-rate program, decode more traffic
+    node.reconfigure(rate_mbps=12, detect_threshold=0.5)
+    assert node.cfg.detect_threshold == 0.5
+    x2, _ = _traffic(2, rng, rate=12)
+    ring.write(x2)
+    _drain(ring, node)
+    assert node.stats.frame_ok == 4, node.report()
+    # back to auto: program comes from the table, no rebuild
+    before = dict(node._prog_table)
+    node.reconfigure(rate_mbps=None)
+    assert dict(node._prog_table) == before
+    with pytest.raises(ValueError):
+        node.reconfigure(window=1234)
+    with pytest.raises(ValueError):
+        node.reconfigure(phy="n")      # needs two rings
+    ring.close()

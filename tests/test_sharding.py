@@ -36,7 +36,7 @@ def test_devices_available():
 def test_sharded_sync_matches_single(frames):
     x, arr, psdus, rate = frames
     mesh = psh.make_mesh()
-    lts1_s, cfo_s = psh.synchronize_sharded(
+    lts1_s, cfo_s, _det = psh.synchronize_sharded(
         jax.device_put(jnp.asarray(x),
                        jax.sharding.NamedSharding(
                            mesh, jax.sharding.PartitionSpec("dp", "sp"))),
@@ -57,7 +57,7 @@ def test_sharded_sync_outputs_replicated(frames):
     xs = jax.device_put(jnp.asarray(x),
                         jax.sharding.NamedSharding(
                             mesh, jax.sharding.PartitionSpec("dp", "sp")))
-    lts1_s, cfo_s = psh.synchronize_sharded(xs, mesh)
+    lts1_s, cfo_s, _det = psh.synchronize_sharded(xs, mesh)
     for out in (lts1_s, cfo_s):
         by_index = {}
         for sh in out.addressable_shards:
@@ -138,3 +138,44 @@ def test_sharded_11n_pipeline_decodes():
     assert np.array_equal(np.asarray(lts1_s), np.asarray(lts1))
     np.testing.assert_allclose(np.asarray(cfo_s), np.asarray(cfo),
                                atol=1e-6)
+
+
+def test_sharded_auto_pipeline_mixed_rates(rng):
+    """rx_pipeline_sharded_auto: mixed-rate batch, sharded detection +
+    batch-parallel runtime-dispatch decode (sharded parity with
+    rx_pipeline_auto)."""
+    rates = [6, 12, 24, 54, 9, 18, 36, 48]
+    psdus = [fr.build_data_frame(bytes(rng.integers(0, 256, 40,
+                                                    dtype=np.uint8)),
+                                 seq=i) for i in range(8)]
+    from sora_tpu.golden import dot11a_np as g
+    x = np.zeros((8, 4096), np.complex64)
+    for i, (p, r) in enumerate(zip(psdus, rates)):
+        w = g.modulate(p, r).astype(np.complex64)
+        x[i, 40 + 11 * i: 40 + 11 * i + len(w)] = w
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)
+          ).astype(np.complex64) * 0.02
+    mesh = psh.make_mesh()
+    out = psh.rx_pipeline_sharded_auto(jnp.asarray(x), mesh, max_psdu=128)
+    ok = np.asarray(out["ok"])
+    assert ok.all(), (ok, np.asarray(out["sig_ok"]))
+    assert [int(v) for v in np.asarray(out["rate_mbps"])] == rates
+    psdu = np.asarray(out["psdu"])
+    length = np.asarray(out["length"])
+    for i, p in enumerate(psdus):
+        assert bytes(psdu[i][:length[i]]) == p
+
+
+def test_sharded_auto_pipeline_40m_frontend(frames):
+    """The 40 Msps device front end runs batch-parallel ahead of the
+    sharded detection (TDownSample2 graph head parity)."""
+    x, arr, psdus, rate = frames
+    # upsample 2x to fake a 40 Msps capture
+    from sora_tpu.phy import frontend as fe
+    x40 = np.asarray(fe.upsample2(jnp.asarray(x)))
+    mesh = psh.make_mesh()
+    out = psh.rx_pipeline_sharded_auto(jnp.asarray(x40), mesh,
+                                       max_psdu=128, input_rate="40m")
+    ok = np.asarray(out["ok"])
+    assert ok.all(), ok
+    assert [int(v) for v in np.asarray(out["rate_mbps"])] == [rate] * 8
