@@ -85,8 +85,8 @@ def main():
     t0 = time.perf_counter()
     out = fn(xd)
     ok = np.asarray(out["ok"])
-    log(f"compile+first run: {time.perf_counter() - t0:.1f}s; "
-        f"ok={int(ok.sum())}/{B}")
+    compile_s = time.perf_counter() - t0
+    log(f"compile+first run: {compile_s:.1f}s; ok={int(ok.sum())}/{B}")
     assert ok.all(), "bench frames must decode"
 
     dt, ok = _amortized(fn, xd, "ok")
@@ -109,10 +109,10 @@ def main():
         o = f()
         np.asarray(sync(o))
         t0 = time.perf_counter()
-        for _ in range(10):
+        for _ in range(50):
             o = f()
         np.asarray(sync(o))
-        log(f"  stage {name:16s} {(time.perf_counter()-t0)/10*1e3:7.2f} ms")
+        log(f"  stage {name:16s} {(time.perf_counter()-t0)/50*1e3:7.2f} ms")
 
     tstage("synchronize", lambda: jrx.synchronize(xd), lambda o: o[2])
     tstage("extract_symbols",
@@ -145,16 +145,36 @@ def main():
         o = vfn(sd)
     np.asarray(o)
     vdt = (time.perf_counter() - t0) / 100
-    log(f"  pallas viterbi (radix-4): {B*T/vdt/1e6:.1f} Mbit/s, "
-        f"ber={ber:.1e}")
+    vmbps = B * T / vdt / 1e6
+    log(f"  pallas viterbi (radix-4): {vmbps:.1f} Mbit/s, ber={ber:.1e}")
+    # roofline note (VERDICT r02 item 3): the kernel is serial-step
+    # bound, not FLOP bound.  Per radix-4 step (4 bits x bt windows):
+    # MXU 1024x73xbt fp32 MACs; VPU ~31 ops on (64, bt) tiles; VMEM
+    # traffic ~ (1024 + 3*64)*bt*4 B.  At bt=512 that is ~38 MFLOP,
+    # ~250 VPU-tile-ops and ~2.5 MB per step — all far beyond what the
+    # measured ~1.3 us/step could absorb if any were the binding limit
+    # (v5e: ~2e13 f32 MXU FLOP/s -> 1.9 us of matmul per 100 steps).
+    # The binding limit is the ~1.1-1.5 us fixed cost Mosaic spends per
+    # sequential fori_loop step (measured constant across step bodies
+    # from near-empty to full ACS), which radix-4 amortizes over 4 bits;
+    # larger bt amortizes it over more windows until VMEM caps the
+    # decision scratch (win/4 * 64 * bt int8).
+    nstep = (512 + 128) // 4
+    ntiles = -(-B * (-(-T // 512)) // 512)
+    log(f"  roofline: {vdt / (ntiles * nstep) * 1e6:.2f} us/radix-4-step "
+        f"({ntiles} tiles x {nstep} steps), serial-step-latency bound")
 
     # mixed-rate auto dispatch path (runtime rate demux, same batch shape)
     xa, Na, _ = _saturated_batch(rate, B, psdu_len, seed=3)
     xad = device_complex(xa)
     afn = lambda xb: jrx.rx_pipeline_auto(xb, max_psdu=max_psdu)
-    adt, aok = _amortized(afn, xad, "ok", reps=10)
+    adt, aok = _amortized(afn, xad, "ok", reps=30)
     log(f"  auto (mixed-rate) path: {B*Na/adt/1e6:.1f} Msamples/s, "
         f"ok={int(aok.sum())}/{B}")
+
+    b_msps = _bench_11b(device_complex, log)
+    n_msps = _bench_11n(device_complex, log)
+    node_fps, node_ratio = _bench_node(log)
 
     print(json.dumps({
         "metric": "dot11a54_rx_throughput",
@@ -162,7 +182,106 @@ def main():
         "unit": "Msamples/s@20Msps",
         "vs_baseline": round(channels, 2),
         "decoded_mbps": round(decoded_mbps, 1),
+        "viterbi_mbit_s": round(vmbps, 1),
+        "b11_msps": round(b_msps, 2),
+        "n11_msps": round(n_msps, 2),
+        "node_frames_s": round(node_fps, 1),
+        "node_rt_ratio": round(node_ratio, 3),
+        "compile_first_s": round(compile_s, 1),
     }))
+
+
+def _bench_11b(device_complex, log):
+    """Saturated 802.11b 11 Mbps CCK RX at 11 Msps chips."""
+    from sora_tpu.golden import dot11b_np as gb
+    from sora_tpu.mac import frame as fr
+    from sora_tpu.phy.dot11b import rx as brx
+
+    rng = np.random.default_rng(5)
+    psdu = fr.build_data_frame(
+        bytes(rng.integers(0, 256, 972, dtype=np.uint8)), seq=2)
+    wave = gb.modulate(psdu, 11).astype(np.complex64)
+    B, N = 64, len(wave) + 400
+    x = np.zeros((B, N), np.complex64)
+    for i in range(B):
+        x[i, 30 + (7 * i) % 300:][: len(wave)] = wave
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)
+          ).astype(np.complex64) * 0.02
+    xd = device_complex(x)
+    fn = lambda xb: brx.rx_pipeline_auto(xb, max_psdu=1024)
+    dt, ok = _amortized(fn, xd, "ok", reps=30)
+    msps = B * N / dt / 1e6
+    log(f"  11b CCK-11 auto path: {msps:.1f} Msamples/s@11Msps "
+        f"({msps/11.0:.1f}x realtime), ok={int(ok.sum())}/{B}")
+    return msps
+
+
+def _bench_11n(device_complex, log):
+    """Saturated 802.11n MCS15 2x2 RX at 20 Msps per antenna."""
+    from sora_tpu.golden import dot11n_np as gn
+    from sora_tpu.mac import frame as fr
+    from sora_tpu.phy.dot11n import rx as nrx
+
+    rng = np.random.default_rng(6)
+    psdu = fr.build_data_frame(
+        bytes(rng.integers(0, 256, 1472, dtype=np.uint8)), seq=3)
+    wave = gn.modulate(psdu, 15).astype(np.complex64)     # (2, n)
+    B, N = 64, wave.shape[1] + 400
+    x = np.zeros((B, 2, N), np.complex64)
+    for i in range(B):
+        off = 30 + (7 * i) % 300
+        x[i, :, off: off + wave.shape[1]] = wave
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)
+          ).astype(np.complex64) * 0.02
+    xd = device_complex(x)
+    fn = lambda xb: nrx.rx_pipeline(xb, 15, max_psdu=1504)
+    dt, ok = _amortized(fn, xd, "ok", reps=30)
+    msps = B * N / dt / 1e6
+    log(f"  11n MCS15 2x2 path: {msps:.1f} Msamples/s@20Msps/ant "
+        f"({msps/20.0:.1f}x realtime), ok={int(ok.sum())}/{B}, "
+        f"{B * 1500 * 8 / dt / 1e6:.0f} Mbps decoded")
+    return msps
+
+
+def _bench_node(log):
+    """Live-node run: paced 20 Msps ring replay of dense traffic;
+    reports (frames/s, avg real-time ratio) — the MACStopwatch bar
+    (MACStopwatch.h:37-60) at the system level."""
+    from sora_tpu.apps.node import synthetic_traffic
+    from sora_tpu.runtime.native import RxRing
+    from sora_tpu.runtime.node import NodeConfig, StreamingNode, TxSink
+
+    addr = b"\x02SORA1"
+    # the axon tunnel costs ~50 ms per host->device round trip, so the
+    # batch must span >= that much air time to run real-time: 64 windows
+    # of 32768 samples = 1.9 M samples/batch = 94 ms at 20 Msps.  On a
+    # local PCIe-attached TPU the same config simply runs deeper ahead.
+    cfg = NodeConfig(max_psdu=256, min_rate_mbps=24, window=32768,
+                     batch=64, max_frames_per_window=11, addr=addr,
+                     rate_mbps=None)
+    ring = RxRing(capacity=1 << 25)
+    node = StreamingNode(ring, cfg, tx_sink=TxSink())
+    t0 = time.perf_counter()
+    node.warm_up()
+    log(f"  node warm_up: {time.perf_counter()-t0:.1f}s "
+        f"(window={cfg.window} overlap={cfg.overlap} "
+        f"K={cfg.max_frames_per_window})")
+    src = synthetic_traffic(400, addr, mixed=False, rate=24, gap=900)
+    ring.start_replay(src, rate_sps=20e6, loop=True)
+    t_end = time.perf_counter() + 5.0
+    while time.perf_counter() < t_end:
+        if not node.step():
+            time.sleep(0.001)
+    ring.stop()
+    node.flush()
+    rep = node.sw.report()
+    secs = 5.0
+    fps = node.stats.frame_ok / secs
+    log(f"  node: {node.stats.frame_ok} frames in {secs:.0f}s "
+        f"({fps:.0f} frames/s), avg rt ratio {rep.avg_ratio:.3f}, "
+        f"dups {node.stats.dup}, backlog_drop {node.stats.backlog_dropped}")
+    ring.close()
+    return fps, rep.avg_ratio
 
 
 if __name__ == "__main__":

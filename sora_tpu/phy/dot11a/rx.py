@@ -284,6 +284,21 @@ def _depuncture_indices(rate: C.RateParam, t_steps: int) -> np.ndarray:
     return np.flatnonzero(keepf)
 
 
+@lru_cache(maxsize=None)
+def _rate_symbol_matrix(rate_mbps: int) -> np.ndarray:
+    """(ncbps, 2*ndbps) per-symbol deinterleave+depuncture one-hot: the
+    fixed-rate slice of the _auto_tables construction.  Gathers and
+    scatters are near-scalar on TPU; one MXU matmul per symbol block
+    replaces both (the T11aDeinterleave* LUT permutation +
+    TDepuncture_* erasure insertion, deinterleaver.hpp / depuncturer.hpp
+    collapsed into a single linear map)."""
+    rate = C.RATES[rate_mbps]
+    mats, _, _, _, _ = _auto_tables(1 << 20, 1 << 20)
+    ri = _RATE_LIST.index(rate_mbps)
+    off = _MOD_OFF[rate.modulation]
+    return np.asarray(mats[ri][off: off + rate.ncbps])
+
+
 @partial(jax.jit, static_argnames=("rate_mbps",))
 def decode_data(eq: jnp.ndarray, length: jnp.ndarray, rate_mbps: int):
     """Decode data symbols for one rate.
@@ -294,19 +309,19 @@ def decode_data(eq: jnp.ndarray, length: jnp.ndarray, rate_mbps: int):
     """
     rate = C.RATES[rate_mbps]
     B, nsym_max, _ = eq.shape
-    perm = jnp.asarray(C.interleaver_permutation(rate.ncbps, rate.nbpsc))
 
     soft = dmap.demap_soft(eq, rate.modulation)       # (B, nsym, ncbps)
-    de = soft[:, :, perm]
     # mask symbols beyond each frame's actual extent -> erasures
     nbits = 16 + 8 * length + 6
     nsym_actual = -(-nbits // rate.ndbps)
     symi = jnp.arange(nsym_max)[None, :]
-    de = jnp.where(symi[:, :, None] < nsym_actual[:, None, None], de, 0.0)
-    flat = de.reshape(B, -1)
+    soft = jnp.where(symi[:, :, None] < nsym_actual[:, None, None],
+                     soft, 0.0)
+    # deinterleave + depuncture as ONE per-symbol matmul (MXU); punctured
+    # slots are all-zero columns (erasures)
+    ab = jnp.einsum("bsj,jk->bsk", soft,
+                    jnp.asarray(_rate_symbol_matrix(rate_mbps)))
     t_steps = nsym_max * rate.ndbps
-    ab = jnp.zeros((B, 2 * t_steps), dtype=jnp.float32)
-    ab = ab.at[:, jnp.asarray(_depuncture_indices(rate, t_steps))].set(flat)
     bits = dvit.decode_auto(ab.reshape(B, t_steps, 2), terminated=True)
     psdu, fcs_ok = _finish_frame(bits, length, t_steps)
     return psdu, fcs_ok, nbits
@@ -611,11 +626,19 @@ def demodulate(x, expect_rate: int | None = None,
     if res.length > MAX_PSDU:
         res.reason = "oversize"
         return res
-    nsym = max_symbols(rate)
     nsym_actual = -(-(16 + 8 * res.length + 6) // rate.ndbps)
     if xb.shape[1] < res.start + 128 + 80 * (nsym_actual + 1):
         res.reason = "truncated"
         return res
+    # compile-time diet: extract/decode at the smallest power-of-two
+    # symbol count covering THIS frame (shape-bucketed jit cache) rather
+    # than always the max_symbols(rate) worst case — an MTU-sized 6 Mbps
+    # program is ~840 symbols and minutes of XLA compile on the axon
+    # service, most of it wasted on short frames
+    nsym = 32
+    while nsym < nsym_actual:
+        nsym *= 2
+    nsym = min(nsym, max_symbols(rate))
     eq, _ = extract_symbols(xb, lts1, cfo, nsym)
     psdu, fcs_ok, _ = decode_data(eq[:, 1:, :], length.astype(jnp.int32),
                                   rate.mbps)

@@ -103,13 +103,20 @@ def synchronize(x: jnp.ndarray, search: int = 2300):
                        axis=-1).astype(jnp.int32)             # (B,)
     onset = jnp.minimum(onset, max(0, n - search))
     hn = min(search, n) - min(search, n) % 11
-    gidx = onset[:, None] + jnp.arange(hn)[None, :]
-    head = jnp.abs(jnp.take_along_axis(c, jnp.clip(gidx, 0, n - 1), 1))
+    # contiguous dynamic slices instead of take_along_axis gathers:
+    # row-indexed gathers lower to near-scalar scatter/gather loops on
+    # TPU, a dynamic_slice + strided reshape is a plain vector copy
+    head = jnp.abs(jax.vmap(
+        lambda row, st: jax.lax.dynamic_slice(row, (st,), (hn,)))(
+            c, onset))
     folds = head.reshape(x.shape[0], -1, 11).sum(axis=1)
     t0 = onset + jnp.argmax(folds, axis=1).astype(jnp.int32)  # (B,)
     nsym_tot = (n - 10) // 11
-    idx = t0[:, None] + 11 * jnp.arange(nsym_tot)[None, :]
-    corr = jnp.take_along_axis(c, jnp.clip(idx, 0, n - 1), axis=1)
+    span = 11 * nsym_tot
+    cpad = jnp.pad(c, ((0, 0), (0, span)))
+    corr = jax.vmap(
+        lambda row, st: jax.lax.dynamic_slice(row, (st,), (span,)))(
+            cpad, t0).reshape(x.shape[0], nsym_tot, 11)[:, :, 0]
     return corr, t0, c
 
 
@@ -188,12 +195,15 @@ def _data_nbits(rate_mbps: float, length_us: jnp.ndarray,
 
 def _decode_psk(c: jnp.ndarray, data_chip0: jnp.ndarray, nsym: int,
                 rate_mbps: float):
-    """1/2 Mbps data: gather symbol correlations from the full correlation
+    """1/2 Mbps data: slice symbol correlations from the full correlation
     stream at the data chips, differential demod (TDBPSKDemap/TDQPSKDemap,
     barkerspread.hpp:314)."""
-    n = c.shape[1]
-    idx = data_chip0[:, None] + 11 * (jnp.arange(nsym + 1)[None, :] - 1)
-    cs = jnp.take_along_axis(c, jnp.clip(idx, 0, n - 1), 1)  # ref + nsym
+    span = 11 * (nsym + 1)
+    cpad = jnp.pad(c, ((0, 0), (11, span)))
+    cs = jax.vmap(
+        lambda row, st: jax.lax.dynamic_slice(row, (st,), (span,)))(
+            cpad, jnp.maximum(data_chip0, 0)
+        ).reshape(c.shape[0], nsym + 1, 11)[:, :, 0]   # ref + nsym
     d = cs[:, 1:] * jnp.conj(cs[:, :-1])
     if rate_mbps == 1:
         return (jnp.real(d) < 0).astype(jnp.uint8)
@@ -211,11 +221,12 @@ def _decode_cck(x: jnp.ndarray, c: jnp.ndarray, data_chip0: jnp.ndarray,
     book = (B.cck55_codebook() if rate_mbps == 5.5
             else B.cck11_codebook()).astype(np.complex64)
     nbps = 4 if rate_mbps == 5.5 else 8
-    n = x.shape[1]
-    idx = (data_chip0[:, None, None] + 8 * jnp.arange(nsym)[None, :, None]
-           + jnp.arange(8)[None, None, :])          # (B, nsym, 8)
-    flat = jnp.clip(idx.reshape(x.shape[0], -1), 0, n - 1)
-    sym = jnp.take_along_axis(x, flat, axis=1).reshape(x.shape[0], nsym, 8)
+    span = 8 * nsym
+    xpad = jnp.pad(x, ((0, 0), (0, span)))
+    sym = jax.vmap(
+        lambda row, st: jax.lax.dynamic_slice(row, (st,), (span,)))(
+            xpad, jnp.maximum(data_chip0, 0)
+        ).reshape(x.shape[0], nsym, 8)
     bookc = jnp.asarray(np.conj(book).T)                 # (8, ncw)
     sc = jnp.einsum("bsc,cw->bsw", sym, bookc)
     iw = jnp.argmax(jnp.abs(sc), axis=2)                 # (B, nsym)

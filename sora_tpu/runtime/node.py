@@ -248,6 +248,8 @@ class StreamingNode:
                              or 8 * self.cfg.batch * self.cfg.window)
         # in-flight decodes: (out, metas, t0, nsamples, det)
         self._pend: list[tuple] = []
+        # in-flight carrier-sense passes: (xd, det_future, metas, t0, n)
+        self._det_pend: list[tuple] = []
         self._seen: dict[tuple[bytes, int], int] = {}     # dedup (hdr, pos)
         self._seen_order: list = []
         self._decode = None
@@ -628,13 +630,22 @@ class StreamingNode:
         return target
 
     def step(self) -> bool:
-        """One poll iteration: assemble a batch, CS-gate it, issue the
-        decode asynchronously, retire the oldest in-flight batch.  Returns
-        True if any work was done (the MAC11a_Receive loop body)."""
+        """One poll iteration: assemble a batch, issue its carrier-sense
+        pass asynchronously, CS-gate the *previous* batch (whose detect
+        result has had a full batch of pipeline slack to arrive), issue
+        its decode, retire the oldest in-flight decode.  Returns True if
+        any work was done (the MAC11a_Receive loop body).
+
+        Both the detect fetch and the decode fetch are double-buffered:
+        the host never waits on a result that was dispatched less than
+        one batch ago, so a device/tunnel round trip costs pipeline
+        depth, not throughput (P4 of SURVEY §2.9 — the TThreadSeparator
+        role, plus the fetch itself)."""
         self.skip_backlog()
         nw = self._next_windows()
         self._tx_step()
         if nw is None:
+            self._gate(block=True)
             self._retire(block=False)
             return False
         x, metas = nw
@@ -643,19 +654,30 @@ class StreamingNode:
 
         xd = device_complex(x)
         self.stats.windows += self.cfg.batch
-        det, power = self._detect(xd)
-        det = np.asarray(det)
-        if (det < self.cfg.detect_threshold).all():
-            self.stats.cs_timeout += self.cfg.batch
-            self.sw.add(x.size, time.perf_counter() - t0)
-            self._retire(block=False)
-            return True
-        out = self._decode(xd)           # async: returns futures
-        self._pend.append((out, metas, t0, x.size, det))
-        # double buffering: retire only when 2 batches are in flight
+        det_f, _power = self._detect(xd)     # async: futures
+        self._det_pend.append((xd, det_f, metas, t0, x.size))
+        while len(self._det_pend) > 1:
+            self._gate(block=True)
         while len(self._pend) > 1:
             self._retire(block=True)
         return True
+
+    def _gate(self, block: bool) -> None:
+        """Fetch the oldest pending carrier-sense result; if anything
+        fired, issue that batch's decode (TCCA11a's no-energy early exit,
+        cca.hpp:165-230 — idle air never pays the Viterbi)."""
+        if not self._det_pend:
+            return
+        if not block and len(self._det_pend) < 2:
+            return
+        xd, det_f, metas, t0, nsamp = self._det_pend.pop(0)
+        det = np.asarray(det_f)
+        if (det < self.cfg.detect_threshold).all():
+            self.stats.cs_timeout += len(metas)
+            self.sw.add(nsamp, time.perf_counter() - t0)
+            return
+        out = self._decode(xd)               # async: returns futures
+        self._pend.append((out, metas, t0, nsamp, det))
 
     def flush(self) -> None:
         """Process the carry-buffer remnant (zero-padded to a full batch)
@@ -672,6 +694,8 @@ class StreamingNode:
                     self._carry[a] = np.concatenate(
                         [self._carry[a], np.zeros(pad, np.complex64)])
             self.step()
+        while self._det_pend:
+            self._gate(block=True)
         while self._pend:
             self._retire(block=True)
 

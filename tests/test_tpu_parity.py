@@ -22,13 +22,18 @@ def _tpu_env():
     return env
 
 
-@pytest.mark.timeout(540)
+@pytest.mark.timeout(920)
 def test_pallas_compiled_parity_on_tpu():
     """Non-interpret Pallas Viterbi + capture decode on hardware.  Skips
-    cleanly when no TPU is attached (exit code 2 from the tool)."""
+    cleanly when no TPU is attached (exit code 2 from the tool).
+
+    Budget: the axon remote compile service takes 1-4 min for the big
+    capture-path programs on a cold persistent cache (the tool prints
+    per-step seconds); warm-cache runs finish in well under a minute.
+    900 s covers one full cold-cache compile of every step."""
     proc = subprocess.run(
         [sys.executable, str(ROOT / "tools" / "tpu_parity_check.py")],
-        env=_tpu_env(), capture_output=True, text=True, timeout=520)
+        env=_tpu_env(), capture_output=True, text=True, timeout=900)
     tail = (proc.stdout + proc.stderr)[-2000:]
     if proc.returncode == 2:
         pytest.skip("no TPU backend available: " + tail.splitlines()[-1])
