@@ -148,17 +148,22 @@ def synchronize_multi(x: jnp.ndarray, n_frames: int):
     det = jnp.where(have, det, 0.0)
     wsel = jnp.take_along_axis(w, sts, axis=1)
     cfo = jnp.angle(wsel).astype(jnp.float32) / 16.0      # (B, K)
-    # per-candidate LTS lock, on candidate-derotated copies
+    # per-candidate LTS lock on a SLICED segment: the LTS repeat of
+    # candidate k lies within [sts_k, sts_k + 512), so correlating a
+    # 768-sample window per candidate replaces a full-stream correlation
+    # of the K-times-repeated batch (which is pure HBM traffic)
+    seg = 768
     stsf = sts.reshape(B * K)
     cfof = cfo.reshape(B * K)
-    y = jnp.repeat(x, K, axis=0) * jnp.exp(
-        -1j * cfof[:, None] * jnp.arange(N, dtype=jnp.float32))
+    xpad = jnp.pad(x, ((0, 0), (0, seg)))
+    segs = jax.vmap(lambda row, starts: jax.vmap(
+        lambda s: jax.lax.dynamic_slice(row, (s,), (seg,)))(starts))(
+            xpad, sts)                               # (B, K, seg)
+    y = segs.reshape(B * K, seg) * jnp.exp(
+        -1j * cfof[:, None] * jnp.arange(seg, dtype=jnp.float32))
     c = jnp.abs(df.correlate_stream(y, _LTS_SYM))
-    c2 = c[:, :-64] + c[:, 64:]
-    pos = jnp.arange(c2.shape[-1])[None, :]
-    in_range = (pos >= stsf[:, None]) & (pos < stsf[:, None] + 512)
-    c2 = jnp.where(in_range, c2, 0.0)
-    lts1 = jnp.argmax(c2, axis=-1).astype(jnp.int32)
+    c2 = (c[:, :-64] + c[:, 64:])[:, :512]
+    lts1 = stsf + jnp.argmax(c2, axis=-1).astype(jnp.int32)
     return lts1, cfof, det.reshape(B * K)
 
 

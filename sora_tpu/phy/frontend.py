@@ -183,3 +183,27 @@ def pulse_shape_11b(chips: jnp.ndarray, sps: int = _SPS44) -> jnp.ndarray:
     # at the chip centers (zero ISI), so chips survive the TX->RX pair
     # at unit amplitude
     return fir_centered(y, rrc_taps(sps=sps))
+
+
+# --------------------------- TV whitespace (tvws) ---------------------------
+
+
+@partial(jax.jit, static_argnames=("decim",))
+def channelize(x: jnp.ndarray, f_norm: float, decim: int = 2
+               ) -> jnp.ndarray:
+    """Extract one channel from a wideband stream: complex mix to
+    baseband, anti-alias lowpass, decimate — the umxistanbul channelized
+    front end (tvws11a.hpp: the TV-whitespace variant inserts a frequency
+    shift + channel filter ahead of the standard 11a graph,
+    /root/reference/kernel/bb/umxistanbul/).
+
+    x: (..., N) wideband complex stream; ``f_norm`` = channel center
+    frequency / input sample rate; ``decim`` input samples per output
+    sample (2 for a 40 Msps capture of 20 Msps channels).
+    """
+    n = x.shape[-1]
+    osc = jnp.exp(-2j * jnp.pi * f_norm * jnp.arange(n, dtype=jnp.float32))
+    y = dc_remove(x) * osc
+    for _ in range(max(0, decim.bit_length() - 1)):
+        y = downsample2(y)
+    return y
