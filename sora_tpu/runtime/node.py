@@ -449,10 +449,10 @@ class StreamingNode:
         """Compile the device programs on a zero batch (dot11main's graph
         build, before the radio starts).  Synchronizes with a host fetch —
         on the axon backend only a device->host transfer truly blocks."""
-        from sora_tpu.util.xfer import device_complex
+        from sora_tpu.util.xfer import device_complex16
 
         z = np.zeros(self._batch_shape(), np.complex64)
-        zd = device_complex(z)
+        zd = device_complex16(z)
         det, power = self._detect(zd)
         np.asarray(det)
         out = self._decode(zd)
@@ -650,9 +650,9 @@ class StreamingNode:
             return False
         x, metas = nw
         t0 = time.perf_counter()
-        from sora_tpu.util.xfer import device_complex
+        from sora_tpu.util.xfer import device_complex16
 
-        xd = device_complex(x)
+        xd = device_complex16(x)   # int16 I/Q wire: half the bytes
         self.stats.windows += self.cfg.batch
         det_f, _power = self._detect(xd)     # async: futures
         self._det_pend.append((xd, det_f, metas, t0, x.size))

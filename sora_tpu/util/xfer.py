@@ -48,3 +48,28 @@ def fetch(tree):
         return np.asarray(v)
 
     return jax.tree.map(pull, tree)
+
+
+# 12-bit scaling for the int16 wire format: unit-amplitude float samples
+# quantize at -66 dBFS — far below channel noise at any usable SNR
+I16_SCALE = 2048.0
+
+
+@jax.jit
+def _combine_i16(h: jnp.ndarray) -> jnp.ndarray:
+    f = h.astype(jnp.float32) * jnp.float32(1.0 / I16_SCALE)
+    return jax.lax.complex(f[..., 0], f[..., 1])
+
+
+def device_complex16(x, sharding=None) -> jnp.ndarray:
+    """Host complex array -> device complex64 over an int16 I/Q wire —
+    the reference's COMPLEX16 RX DMA convention (_rx_manager.h:85-137),
+    and HALF the boundary bytes of :func:`device_complex`.  Used by the
+    live node, where host->device bandwidth is the streaming budget."""
+    x = np.asarray(x)
+    h = np.empty(x.shape + (2,), np.int16)
+    np.multiply(x.real, I16_SCALE, out=h[..., 0], casting="unsafe")
+    np.multiply(x.imag, I16_SCALE, out=h[..., 1], casting="unsafe")
+    hd = jax.device_put(h) if sharding is None else jax.device_put(
+        h, sharding)
+    return _combine_i16(hd)
