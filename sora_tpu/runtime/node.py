@@ -91,6 +91,8 @@ class NodeConfig:
     backlog_hwm: int = 0          # ring backlog watchdog (0 = auto)
     data_rate: float | None = None  # TX data rate (None = ack_rate)
     ack_timeout_slots: int = 0    # 0 = auto from batch decode latency
+    beacon_interval_s: float = 0.0  # 0 = no beacons (AP mode off)
+    ssid: str = "sora-tpu"
 
     def __post_init__(self):
         if self.phy not in ("a", "b", "n"):
@@ -164,6 +166,7 @@ class ErrStats:
     tx_acked: int = 0             # data frames confirmed by an ACK
     tx_retries: int = 0           # BEB retransmissions
     tx_drops: int = 0             # gave up after RETRY_LIMIT
+    beacons_tx: int = 0           # AP-mode beacons queued
     ring_drops: list = field(default_factory=list)   # per-vstream counts
     backlog_dropped: int = 0      # samples skipped by the watchdog
     # bounded: a long-running node must not grow without limit
@@ -270,6 +273,8 @@ class StreamingNode:
         self._ack_deadline = 0
         self._tx_rng = np.random.default_rng(
             int.from_bytes(self.cfg.addr[-4:], "little"))
+        self._next_beacon = (time.perf_counter()
+                             + (self.cfg.beacon_interval_s or 0))
         self._slot = max(1, int(round(9e-6 * self.cfg.sample_rate_sps)))
         self._build_programs()
 
@@ -516,12 +521,40 @@ class StreamingNode:
         hdr = MacHeader(addr1=bytes(dst), addr2=cfg.addr, addr3=cfg.addr,
                         seq_ctrl=self._tx_seq << 4)
         self._tx_seq = (self._tx_seq + 1) & 0xFFF
-        psdu = append_fcs(hdr.pack() + payload)
+        self.send_frame(append_fcs(hdr.pack() + payload), bytes(dst),
+                        rate)
+
+    def send_frame(self, psdu: bytes, dst: bytes,
+                   rate: float | None = None) -> None:
+        """Queue a fully built PSDU (FCS included) — the path mgmt
+        frames take (beacons, auth/assoc responses)."""
+        cfg = self.cfg
         rate = rate if rate is not None else (cfg.data_rate
                                               if cfg.data_rate is not None
                                               else cfg.ack_rate)
         self.cache.get(psdu, rate)                      # pre-stage
         self._txq.append([psdu, bytes(dst), rate, 0])   # [.., retries]
+
+    def _beacon_step(self) -> None:
+        """Queue a broadcast beacon every beacon_interval_s (the AP-mode
+        beacon timer of the reference mgmt loop, mgmt.cpp /
+        mac.cpp:547-610 send thread)."""
+        cfg = self.cfg
+        if not cfg.beacon_interval_s:
+            return
+        now = time.perf_counter()
+        if now < self._next_beacon:
+            return
+        self._next_beacon = now + cfg.beacon_interval_s
+        bss = mgmt.Bss(ssid=cfg.ssid, bssid=cfg.addr,
+                       beacon_interval_tu=max(
+                           1, int(cfg.beacon_interval_s * 1e6 / 1024)))
+        psdu = mgmt.build_beacon(
+            bss, timestamp_us=int(now * 1e6) & ((1 << 64) - 1),
+            seq=self._tx_seq)
+        self._tx_seq = (self._tx_seq + 1) & 0xFFF
+        self.stats.beacons_tx += 1
+        self.send_frame(psdu, b"\xff" * 6)
 
     def _ack_timeout_slots(self) -> int:
         cfg = self.cfg
@@ -642,6 +675,7 @@ class StreamingNode:
         depth, not throughput (P4 of SURVEY §2.9 — the TThreadSeparator
         role, plus the fetch itself)."""
         self.skip_backlog()
+        self._beacon_step()
         nw = self._next_windows()
         self._tx_step()
         if nw is None:

@@ -411,3 +411,25 @@ def test_node_runtime_reconfigure(rng):
     with pytest.raises(ValueError):
         node.reconfigure(phy="n")      # needs two rings
     ring.close()
+
+
+def test_node_beacons(rng):
+    """AP mode: the node queues broadcast beacons on a timer and fires
+    them through the CSMA TX path (mgmt beacon loop analogue)."""
+    from sora_tpu.mac import mgmt
+
+    ring = RxRing(capacity=1 << 20)
+    cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=256,
+                     addr=ADDR, beacon_interval_s=0.01, ssid="tpu-ap")
+    tx = TxSink()
+    node = StreamingNode(ring, cfg, tx_sink=tx)
+    # idle air so DIFS+backoff complete quickly
+    ring.write(np.zeros(40000, np.complex64))
+    t_end = __import__("time").perf_counter() + 0.3
+    while __import__("time").perf_counter() < t_end:
+        node.step()
+    node.flush()
+    assert node.stats.beacons_tx >= 2
+    assert node.stats.tx_data >= 1          # broadcast fired, no ACK wait
+    assert tx.fired
+    ring.close()
