@@ -202,7 +202,7 @@ def _bench_11b(device_complex, log):
     psdu = fr.build_data_frame(
         bytes(rng.integers(0, 256, 972, dtype=np.uint8)), seq=2)
     wave = gb.modulate(psdu, 11).astype(np.complex64)
-    B, N = 64, len(wave) + 400
+    B, N = 128, len(wave) + 400
     x = np.zeros((B, N), np.complex64)
     for i in range(B):
         x[i, 30 + (7 * i) % 300:][: len(wave)] = wave
@@ -227,7 +227,7 @@ def _bench_11n(device_complex, log):
     psdu = fr.build_data_frame(
         bytes(rng.integers(0, 256, 1472, dtype=np.uint8)), seq=3)
     wave = gn.modulate(psdu, 15).astype(np.complex64)     # (2, n)
-    B, N = 64, wave.shape[1] + 400
+    B, N = 128, wave.shape[1] + 400
     x = np.zeros((B, 2, N), np.complex64)
     for i in range(B):
         off = 30 + (7 * i) % 300

@@ -174,7 +174,7 @@ def test_layered_config(tmp_path, monkeypatch):
     assert cfg.window == 2048          # file layer
     assert cfg.batch == 16             # env beats file
     assert cfg.ack_rate == 24          # override beats env+file
-    assert cfg.max_psdu == 1600        # dataclass default survives
+    assert cfg.max_psdu == 2500        # dataclass default survives
     # round-trip through JSON keeps bytes fields
     import json
     d = json.loads(dump_config(cfg))
