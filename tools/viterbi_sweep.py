@@ -36,9 +36,9 @@ def main() -> int:
         + rng.normal(size=(B, T, 2)).astype(np.float32) * 0.25
     sd = jnp.asarray(soft)
 
-    configs = [(512, 64, 256), (512, 64, 512), (512, 64, 768),
-               (1024, 64, 512), (768, 64, 512), (512, 32, 512),
-               (1024, 64, 768), (2048, 64, 512)]
+    configs = [(512, 64, 512), (1024, 64, 512), (2048, 64, 512),
+               (1024, 64, 768), (1024, 32, 512), (4096, 64, 256),
+               (2048, 64, 768)]
     for block, ov, bt in configs:
         try:
             fn = lambda s: vp.decode_blocks(s, block=block, overlap=ov,
