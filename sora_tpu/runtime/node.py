@@ -167,6 +167,7 @@ class ErrStats:
     tx_retries: int = 0           # BEB retransmissions
     tx_drops: int = 0             # gave up after RETRY_LIMIT
     beacons_tx: int = 0           # AP-mode beacons queued
+    mgmt_rx: int = 0              # auth/assoc/beacon frames handled
     ring_drops: list = field(default_factory=list)   # per-vstream counts
     backlog_dropped: int = 0      # samples skipped by the watchdog
     # bounded: a long-running node must not grow without limit
@@ -275,6 +276,11 @@ class StreamingNode:
             int.from_bytes(self.cfg.addr[-4:], "little"))
         self._next_beacon = (time.perf_counter()
                              + (self.cfg.beacon_interval_s or 0))
+        # -- mgmt plane (mgmt.cpp auth/assoc; mgmt.h:17-83) ----------------
+        self.stations: dict[bytes, int] = {}   # AP: associated STA -> AID
+        self.bss_seen: dict[bytes, object] = {}  # client: bssid -> Bss
+        self.associated_bssid: bytes | None = None
+        self._join_target: bytes | None = None
         self._slot = max(1, int(round(9e-6 * self.cfg.sample_rate_sps)))
         self._build_programs()
 
@@ -534,6 +540,55 @@ class StreamingNode:
                                               else cfg.ack_rate)
         self.cache.get(psdu, rate)                      # pre-stage
         self._txq.append([psdu, bytes(dst), rate, 0])   # [.., retries]
+
+    def start_join(self, bssid: bytes) -> None:
+        """Client side of the reference's auth->assoc handshake
+        (mgmt.cpp): queue an authentication request; the responses drive
+        the rest of the exchange in _handle_mgmt."""
+        self._join_target = bytes(bssid)
+        self.send_frame(mgmt.build_auth(self.cfg.addr, self._join_target,
+                                        seq_num=1), self._join_target)
+
+    def _handle_mgmt(self, ftype: int, psdu: bytes) -> None:
+        cfg = self.cfg
+        self.stats.mgmt_rx += 1
+        ap = bool(cfg.beacon_interval_s)
+        if ftype == mgmt.FC_BEACON:
+            bss = mgmt.parse_beacon(psdu)
+            if bss is not None:
+                self.bss_seen[bss.bssid] = bss
+            return
+        hdr = MacHeader.unpack(psdu[:24])
+        if ftype == mgmt.FC_AUTH:
+            parsed = mgmt.parse_auth(psdu)
+            if parsed is None:
+                return
+            src, seq_num, status = parsed
+            if ap and seq_num == 1:
+                # authentication response (success): addr1 = the STA
+                self.send_frame(mgmt.build_auth(cfg.addr, src,
+                                                seq_num=2, status=0),
+                                src)
+            elif (seq_num == 2 and status == 0
+                  and hdr.addr2 == self._join_target):
+                bss = self.bss_seen.get(self._join_target) or mgmt.Bss(
+                    bssid=self._join_target)
+                self.send_frame(mgmt.build_assoc_req(cfg.addr, bss),
+                                self._join_target)
+            return
+        if ftype == mgmt.FC_ASSOC_REQ and ap:
+            aid = self.stations.setdefault(hdr.addr2,
+                                           len(self.stations) + 1)
+            bss = mgmt.Bss(ssid=cfg.ssid, bssid=cfg.addr)
+            self.send_frame(mgmt.build_assoc_resp(hdr.addr2, bss, aid),
+                            hdr.addr2)
+            return
+        if ftype == mgmt.FC_ASSOC_RESP:
+            parsed = mgmt.parse_assoc_resp(psdu)
+            if parsed is not None and hdr.addr2 == self._join_target:
+                status, aid = parsed
+                if status == 0:
+                    self.associated_bssid = self._join_target
 
     def _beacon_step(self) -> None:
         """Queue a broadcast beacon every beacon_interval_s (the AP-mode
@@ -838,9 +893,13 @@ class StreamingNode:
             self.stats.not_for_us += 1
             return
         self.stats.frame_ok += 1
-        self.rx_payloads.append((hdr.addr2, psdu[24:-4]))
-        if self.on_payload is not None:
-            self.on_payload(hdr.addr2, psdu[24:-4])
+        if ftype != mgmt.FC_DATA:
+            if wants_us and not cfg.promiscuous:
+                self._handle_mgmt(ftype, psdu)
+        else:
+            self.rx_payloads.append((hdr.addr2, psdu[24:-4]))
+            if self.on_payload is not None:
+                self.on_payload(hdr.addr2, psdu[24:-4])
         if hdr.addr1 == cfg.addr and not cfg.promiscuous:
             ack = build_ack_frame(hdr.addr2)
             wave = self.cache.get(ack, cfg.ack_rate)       # pre-staged

@@ -433,3 +433,27 @@ def test_node_beacons(rng):
     assert node.stats.tx_data >= 1          # broadcast fired, no ACK wait
     assert tx.fired
     ring.close()
+
+
+def test_two_nodes_auth_assoc_handshake(rng):
+    """Client joins the AP over the software air: auth req -> auth resp
+    -> assoc req -> assoc resp, each unicast step ACKed — the mgmt
+    handshake of the reference (mgmt.cpp, mgmt.h:17-83)."""
+    ring_a = RxRing(capacity=1 << 22)
+    ring_b = RxRing(capacity=1 << 22)
+    ap_cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=256,
+                        addr=ADDR, rate_mbps=None, data_rate=12,
+                        ack_timeout_slots=250, beacon_interval_s=1e9)
+    st_cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=256,
+                        addr=PEER, rate_mbps=None, data_rate=12,
+                        ack_timeout_slots=250)
+    ap = StreamingNode(ring_a, ap_cfg, tx_sink=TxSink(ring_b))
+    st = StreamingNode(ring_b, st_cfg, tx_sink=TxSink(ring_a))
+    st.start_join(ADDR)
+    _pump((ring_a, ring_b), (ap, st), rng, chunks=60,
+          done=lambda: st.associated_bssid is not None)
+    assert st.associated_bssid == ADDR, (ap.report(), st.report())
+    assert ap.stations.get(PEER) == 1
+    assert ap.stats.mgmt_rx >= 2 and st.stats.mgmt_rx >= 2
+    for r in (ring_a, ring_b):
+        r.close()
