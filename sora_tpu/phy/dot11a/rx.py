@@ -278,17 +278,6 @@ def decode_signal(eq_sig: jnp.ndarray):
 # =============================================================================
 
 
-def _depuncture_indices(rate: C.RateParam, t_steps: int) -> np.ndarray:
-    """Static scatter indices: position of each received soft value in the
-    (T, 2) A/B stream."""
-    pa, pb = C.PUNCTURE[(rate.num, rate.den)]
-    keep = np.stack([pa, pb], -1).reshape(-1)
-    period = len(keep)
-    reps = -(-2 * t_steps // period)
-    keepf = np.tile(keep, reps)[: 2 * t_steps]
-    return np.flatnonzero(keepf)
-
-
 @lru_cache(maxsize=None)
 def _rate_symbol_matrix(rate_mbps: int) -> np.ndarray:
     """(ncbps, 2*ndbps) per-symbol deinterleave+depuncture one-hot: the

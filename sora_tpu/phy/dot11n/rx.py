@@ -262,11 +262,21 @@ def decode_htsig(eq2: jnp.ndarray):
 # =============================================================================
 
 
-def _depuncture_indices(m: N.McsParam, t_steps: int) -> np.ndarray:
-    pa, pb = N.puncture_pattern(m.num, m.den)
-    keep = np.stack([pa, pb], -1).reshape(-1)
-    reps = -(-2 * t_steps // len(keep))
-    return np.flatnonzero(np.tile(keep, reps)[: 2 * t_steps])
+@lru_cache(maxsize=None)
+def _mcs_symbol_matrix(mcs: int) -> np.ndarray:
+    """(ncbps, 2*ndbps) per-symbol one-hot collapsing stream parse +
+    per-stream HT deinterleave + depuncture into a single linear map
+    (the fixed-MCS slice of the _auto_tables_n construction) — gathers
+    and scatters are near-scalar on TPU, one MXU matmul per symbol
+    block replaces them all."""
+    m = N.MCS[mcs]
+    mats, _, _, _, _ = _auto_tables_n(1 << 20, 1 << 20)
+    ri = _MCS_LIST.index(mcs)
+    off = _MOD_OFF_N[m.modulation]
+    rows = [np.asarray(mats[ri][i * _STREAM_W + off:
+                                i * _STREAM_W + off + m.ncbpss])
+            for i in range(2)]
+    return np.concatenate(rows, axis=0)          # (2*ncbpss, 2*ndbps)
 
 
 @partial(jax.jit, static_argnames=("mcs", "max_psdu"))
@@ -280,25 +290,17 @@ def decode_data(xd: jnp.ndarray, length: jnp.ndarray, mcs: int,
     """
     m = N.MCS[mcs]
     B, nsym_max = xd.shape[0], xd.shape[1]
-    ncbps = 2 * m.ncbpss
-    sp = N.stream_parse_indices(ncbps, m.nbpsc)               # (2, ncbpss)
-
-    merged = jnp.zeros((B, nsym_max, ncbps), dtype=jnp.float32)
-    for i in range(2):
-        soft = dmap.demap_soft(xd[:, :, :, i], m.modulation)
-        perm = N.ht_interleaver_permutation(m.nbpsc, i)
-        de = soft[:, :, jnp.asarray(perm)]
-        merged = merged.at[:, :, jnp.asarray(sp[i])].set(de)
-
+    soft = jnp.concatenate(
+        [dmap.demap_soft(xd[:, :, :, i], m.modulation) for i in range(2)],
+        axis=-1)                                   # (B, nsym, 2*ncbpss)
     nbits = 16 + 8 * length + 6
     nsym_actual = -(-nbits // m.ndbps)
     symi = jnp.arange(nsym_max)[None, :]
-    merged = jnp.where(symi[:, :, None] < nsym_actual[:, None, None],
-                       merged, 0.0)
-    flat = merged.reshape(B, -1)
+    soft = jnp.where(symi[:, :, None] < nsym_actual[:, None, None],
+                     soft, 0.0)
+    ab = jnp.einsum("bsj,jk->bsk", soft,
+                    jnp.asarray(_mcs_symbol_matrix(mcs)))
     t_steps = nsym_max * m.ndbps
-    ab = jnp.zeros((B, 2 * t_steps), dtype=jnp.float32)
-    ab = ab.at[:, jnp.asarray(_depuncture_indices(m, t_steps))].set(flat)
     bits = dvit.decode_auto(ab.reshape(B, t_steps, 2), terminated=True)
     return _finish_frame(bits, length, t_steps, max_psdu)
 
