@@ -1,0 +1,41 @@
+"""Loopback sensitivity vs SNR (SURVEY §4.2: mod -> AWGN -> demod BER/CRC
+sweeps): each rate decodes at its expected operating SNR with margin, and
+fails cleanly (no crash, fcs_ok False) far below it."""
+
+import numpy as np
+import pytest
+
+from sora_tpu.golden import dot11a_np as g
+from sora_tpu.mac import frame as fr
+from sora_tpu.phy.dot11a import rx as jrx
+
+
+def _run(rate, snr_db, rng, n=6):
+    import jax.numpy as jnp
+
+    psdus = [fr.build_data_frame(bytes(rng.integers(0, 256, 60,
+                                                    dtype=np.uint8)),
+                                 seq=i) for i in range(n)]
+    waves = [g.modulate(p, rate).astype(np.complex64) for p in psdus]
+    N = max(len(w) for w in waves) + 300
+    x = np.zeros((n, N), np.complex64)
+    for i, w in enumerate(waves):
+        x[i, 40: 40 + len(w)] = w
+    sig_p = float(np.mean([np.mean(np.abs(w) ** 2) for w in waves]))
+    sigma = np.sqrt(sig_p / (2.0 * 10 ** (snr_db / 10.0)))
+    x += sigma * (rng.normal(size=x.shape)
+                  + 1j * rng.normal(size=x.shape)).astype(np.complex64)
+    out = jrx.rx_pipeline(jnp.asarray(x), rate, max_psdu=128)
+    return int(np.asarray(out["ok"]).sum()), n
+
+
+@pytest.mark.parametrize("rate,snr_ok,snr_fail", [
+    (6, 10.0, -6.0),      # BPSK 1/2: decodes near ~5 dB
+    (12, 13.0, -3.0),     # QPSK 1/2
+    (54, 30.0, 8.0),      # 64-QAM 3/4: needs ~25 dB
+])
+def test_sensitivity_thresholds(rate, snr_ok, snr_fail, rng):
+    ok, n = _run(rate, snr_ok, rng)
+    assert ok == n, f"{rate} Mbps at {snr_ok} dB: {ok}/{n}"
+    ok, n = _run(rate, snr_fail, rng)
+    assert ok == 0, f"{rate} Mbps at {snr_fail} dB should fail: {ok}/{n}"
