@@ -616,11 +616,12 @@ class StreamingNode:
         if cfg.ack_timeout_slots:
             return cfg.ack_timeout_slots
         # batched decode adds latency: the peer only sees our frame once
-        # its batch window assembles, and its ACK reaches us one of our
-        # batches later — budget two full batch spans plus margin
+        # its batch window assembles, its detect gate fetches one batch
+        # later, and its ACK crosses our own gate+decode pipeline —
+        # budget three full batch spans plus margin
         hop = cfg.window - cfg.overlap
         total = cfg.window + hop * (cfg.batch - 1)
-        return 64 + (2 * total) // self._slot
+        return 64 + (3 * total) // self._slot
 
     def _enter_contend(self) -> None:
         self._tx_state = "contend"
