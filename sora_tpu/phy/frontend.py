@@ -201,6 +201,8 @@ def channelize(x: jnp.ndarray, f_norm: float, decim: int = 2
     frequency / input sample rate; ``decim`` input samples per output
     sample (2 for a 40 Msps capture of 20 Msps channels).
     """
+    assert decim >= 1 and (decim & (decim - 1)) == 0, \
+        "channelize decimates by halfband stages: decim must be 2^k"
     n = x.shape[-1]
     osc = jnp.exp(-2j * jnp.pi * f_norm * jnp.arange(n, dtype=jnp.float32))
     y = dc_remove(x) * osc

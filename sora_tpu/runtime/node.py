@@ -735,7 +735,7 @@ class StreamingNode:
         nw = self._next_windows()
         self._tx_step()
         if nw is None:
-            self._gate(block=True)
+            self._gate(block=False)
             self._retire(block=False)
             return False
         x, metas = nw
@@ -759,7 +759,11 @@ class StreamingNode:
         if not self._det_pend:
             return
         if not block and len(self._det_pend) < 2:
-            return
+            # single in-flight detect: only consume it if the result has
+            # already landed (never stall an idle poll on a fetch)
+            f = self._det_pend[0][1]
+            if not getattr(f, "is_ready", lambda: False)():
+                return
         xd, det_f, metas, t0, nsamp = self._det_pend.pop(0)
         det = np.asarray(det_f)
         if (det < self.cfg.detect_threshold).all():

@@ -211,3 +211,18 @@ def test_demod11_raw40_device_frontend(capsys):
                        "--msps", "40"])
     assert rc == 0
     assert "frame_ok" in capsys.readouterr().out
+
+
+def test_srview_info_and_cut(tmp_path, capsys):
+    """srview dump viewer/cutter (bintools srview analogue)."""
+    from sora_tpu.apps import srview
+
+    cap = "/root/reference/kernel/test-data/fsample-6.dmp"
+    assert srview.main(["info", cap]) == 0
+    out = capsys.readouterr().out
+    assert "75320 samples" in out
+    dst = str(tmp_path / "cut.dmp")
+    assert srview.main(["cut", cap, dst, "1000", "15001"]) == 0
+    assert srview.main(["info", dst]) == 0
+    assert "14028 samples" in capsys.readouterr().out
+    assert srview.main(["ascii", cap, "--bins", "40"]) == 0
