@@ -69,3 +69,34 @@ def from_process_local(x_local: np.ndarray, mesh, spec):
 
     sharding = NamedSharding(mesh, spec)
     return jax.make_array_from_process_local_data(sharding, x_local)
+
+
+def surviving_mesh(exclude_processes=(), exclude_devices=(),
+                   dp: int | None = None):
+    """Host-failure recovery: rebuild the (dp, sp) mesh from surviving
+    devices — the framework's defined failure behavior (SURVEY §5: the
+    reference has no elastic story; ours is drop-and-rebalance).
+
+    A dead host's channels are dropped, the remaining streams reshard
+    over the new mesh, and decode resumes at the live edge of each
+    surviving ring (per-window state only — the same Seek(END_POS)
+    semantics as the node's backlog watchdog, so nothing needs
+    restoring).  ``exclude_processes``: process indices of failed hosts;
+    ``exclude_devices``: individual failed devices.
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    dead_p = set(exclude_processes)
+    dead_d = set(exclude_devices)
+    devs = [d for d in jax.devices()
+            if d.process_index not in dead_p and d not in dead_d]
+    if not devs:
+        raise RuntimeError("no surviving devices")
+    n = len(devs)
+    if dp is None:
+        dp = max(1, len({d.process_index for d in devs}))
+    while n % dp:
+        dp -= 1
+    sp = n // dp
+    return Mesh(np.array(devs[: dp * sp]).reshape(dp, sp), ("dp", "sp"))

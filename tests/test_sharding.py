@@ -179,3 +179,22 @@ def test_sharded_auto_pipeline_40m_frontend(frames):
     ok = np.asarray(out["ok"])
     assert ok.all(), ok
     assert [int(v) for v in np.asarray(out["rate_mbps"])] == [rate] * 8
+
+
+def test_surviving_mesh_rebalance(frames):
+    """Failure recovery: after 'losing' half the devices, the rebuilt
+    mesh decodes the same work (drop-and-rebalance, SURVEY §5)."""
+    from sora_tpu.parallel import distributed as dist
+
+    x, arr, psdus, rate = frames
+    full = dist.surviving_mesh()
+    assert full.devices.size == 8
+    out = psh.rx_pipeline_sharded(jnp.asarray(x), full, rate, max_psdu=128)
+    assert np.asarray(out["ok"]).all()
+    # half the devices "fail"
+    dead = list(jax.devices())[4:]
+    small = dist.surviving_mesh(exclude_devices=dead)
+    assert small.devices.size == 4
+    out = psh.rx_pipeline_sharded(jnp.asarray(x), small, rate,
+                                  max_psdu=128)
+    assert np.asarray(out["ok"]).all()
