@@ -153,14 +153,23 @@ def _dbpsk_bits(corr: jnp.ndarray) -> jnp.ndarray:
 def find_sfd(desc: jnp.ndarray):
     """Locate the SFD in descrambled 1 Mbps bits: XOR-distance against the
     16-bit pattern at every offset via one matmul (TSFDSync analogue,
-    sfd_sync.hpp:12-134).  Returns (pos (B,), found (B,) bool)."""
-    w = df.window_view(desc.astype(jnp.float32), 16)    # (B, nw, 16)
+    sfd_sync.hpp:12-134).  A genuine SFD is always preceded by the SYNC
+    field's scrambled ones, so candidates must follow 8 descrambled 1s —
+    without this, garbage bits decoded before the true sync (timing can
+    lock up to ~5 symbols early) occasionally alias the 16-bit pattern
+    and hijack the first-hit selection.  Returns (pos (B,), found (B,))."""
+    descf = desc.astype(jnp.float32)
+    w = df.window_view(descf, 16)                       # (B, nw, 16)
     pat = _SFD.astype(np.float32)
     dist = jnp.matmul(w, jnp.asarray(1.0 - 2.0 * pat),
                       precision=jax.lax.Precision.HIGHEST) + pat.sum()
     dist = dist[:, :_SFD_LIMIT]
     hit = dist.astype(jnp.int32) == 0
-    pos = jnp.argmax(hit, axis=1).astype(jnp.int32)     # first hit
+    # sum8[t] = number of ones in desc[t .. t+7]
+    sum8 = df.moving_sum(descf, 8)
+    ones_before = jnp.pad(sum8, ((0, 0), (8, 0)))[:, :dist.shape[1]]
+    hit = hit & (ones_before.astype(jnp.int32) == 8)
+    pos = jnp.argmax(hit, axis=1).astype(jnp.int32)     # first valid hit
     return pos, jnp.any(hit, axis=1)
 
 

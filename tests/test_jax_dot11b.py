@@ -131,3 +131,21 @@ def test_rx_pipeline_auto_noise_rejected(rng):
     out = jrx.rx_pipeline_auto(jnp.asarray(x.astype(np.complex64)),
                                max_psdu=64)
     assert not np.asarray(out["ok"]).any()
+
+
+def test_sfd_rejects_garbage_prefix_alias(rng):
+    """Early timing lock decodes a few noise symbols ahead of the sync;
+    a spurious 16-bit SFD alias in that garbage must not hijack the
+    first-hit selection (regression: bench batch offset pattern lost
+    ~3% of CCK frames to this)."""
+    psdu = fr.build_data_frame(bytes(rng.integers(0, 256, 972,
+                                                  dtype=np.uint8)), seq=2)
+    wave = g.modulate(psdu, 11).astype(np.complex64)
+    B, N = 128, len(wave) + 400
+    x = np.zeros((B, N), np.complex64)
+    for i in range(B):
+        x[i, 30 + (7 * i) % 300:][: len(wave)] = wave
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)
+          ).astype(np.complex64) * 0.02
+    out = jrx.rx_pipeline_auto(jnp.asarray(x), max_psdu=1024)
+    assert int(np.asarray(out["ok"]).sum()) == B
