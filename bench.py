@@ -147,22 +147,26 @@ def main():
     vdt = (time.perf_counter() - t0) / 100
     vmbps = B * T / vdt / 1e6
     log(f"  pallas viterbi (radix-4): {vmbps:.1f} Mbit/s, ber={ber:.1e}")
-    # roofline note (VERDICT r02 item 3): the kernel is serial-step
-    # bound, not FLOP bound.  Per radix-4 step (4 bits x bt windows):
-    # MXU 1024x73xbt fp32 MACs; VPU ~31 ops on (64, bt) tiles; VMEM
-    # traffic ~ (1024 + 3*64)*bt*4 B.  At bt=512 that is ~38 MFLOP,
-    # ~250 VPU-tile-ops and ~2.5 MB per step — all far beyond what the
-    # measured ~1.3 us/step could absorb if any were the binding limit
-    # (v5e: ~2e13 f32 MXU FLOP/s -> 1.9 us of matmul per 100 steps).
-    # The binding limit is the ~1.1-1.5 us fixed cost Mosaic spends per
-    # sequential fori_loop step (measured constant across step bodies
-    # from near-empty to full ACS), which radix-4 amortizes over 4 bits;
-    # larger bt amortizes it over more windows until VMEM caps the
-    # decision scratch (win/4 * 64 * bt int8).
+    # roofline note (VERDICT r02 item 3).  Measured with deep pipelining
+    # (tools/viterbi_sweep.py + forward-only probes): a radix-4 step at
+    # bt=512 costs ~1.7 us and scales ~linearly in bt, so the forward
+    # pass is THROUGHPUT bound, not FLOP or issue bound:
+    # * not MXU: casting the (1024, 73) ACS matmul to bf16 (4-8x MXU
+    #   rate) changes nothing (measured 1.74 -> 1.70 us/step);
+    # * not the fori_loop: unrolling 4..80 steps/iteration is flat;
+    # * the binding resource is VMEM traffic through the (1024, bt) f32
+    #   candidate tensor (~4.2 MB read+written per step at bt=512 ->
+    #   ~2.4 TB/s effective, near the v5e VMEM roofline).  Radix-2
+    #   halves the candidate rows but doubles the steps and re-pays a
+    #   ~0.65 us/step quasi-fixed cost: measured 852 Mbit/s-equiv
+    #   forward vs radix-4's 1176 — radix-4 is the optimum of
+    #   fixed-cost amortization vs candidate-tensor traffic (radix-8's
+    #   4096-row tensor loses ~2x on traffic).
     nstep = (512 + 128) // 4
     ntiles = -(-B * (-(-T // 512)) // 512)
     log(f"  roofline: {vdt / (ntiles * nstep) * 1e6:.2f} us/radix-4-step "
-        f"({ntiles} tiles x {nstep} steps), serial-step-latency bound")
+        f"({ntiles} tiles x {nstep} steps), VMEM-traffic bound on the "
+        f"candidate tensor")
 
     # mixed-rate auto dispatch path (runtime rate demux, same batch shape)
     xa, Na, _ = _saturated_batch(rate, B, psdu_len, seed=3)

@@ -76,7 +76,8 @@ def main() -> int:
     x_local = x[lo: lo + rows_per_proc]
     xg = dist.from_process_local(x_local, mesh, P("dp", "sp"))
 
-    from sora_tpu.parallel.shard import rx_pipeline_sharded
+    from sora_tpu.parallel.shard import (rx_pipeline_sharded,
+                                         rx_pipeline_sharded_auto)
 
     t0 = time.perf_counter()
     out = rx_pipeline_sharded(xg, mesh, args.rate, max_psdu=128)
@@ -86,6 +87,12 @@ def main() -> int:
         [np.asarray(s.data).reshape(-1) for s in ok_g.addressable_shards])
     dt = time.perf_counter() - t0
     n_ok = int(ok_local.sum())
+    # mixed-rate runtime dispatch over the same multi-process mesh
+    out_a = rx_pipeline_sharded_auto(xg, mesh, max_psdu=128)
+    okau = np.concatenate(
+        [np.asarray(s.data).reshape(-1)
+         for s in out_a["ok"].addressable_shards])
+    assert int(okau.sum()) == len(okau), "sharded auto failed multihost"
     result = {"proc": args.proc_id, "n_processes": jax.process_count(),
               "global_devices": len(jax.devices()),
               "ok_local": n_ok, "expect_local": len(ok_local),
