@@ -194,6 +194,43 @@ def detect_only(x: jnp.ndarray):
 # =============================================================================
 
 
+def _pilot_slope(pv: jnp.ndarray, window: int = 8) -> jnp.ndarray:
+    """Per-symbol subcarrier phase SLOPE (rad/subcarrier) from the
+    polarity-corrected pilot values — the delta half of TPilotTrack's
+    "subcarrier rotation = const_rotate + i * delta_rotate"
+    (pilot.hpp:142-236, _build_coeff/_pilot_track).
+
+    pv: (B, S, 4) pilots at subcarriers (-21, -7, 7, 21), expected-value
+    corrected so an ideal channel gives 4 equal positive reals.
+
+    The reference works per symbol with small instantaneous deltas; this
+    batched form sees the WHOLE frame, over which a ±20 ppm sample-clock
+    offset accumulates multiple radians at the edge pilots.  So the
+    per-pilot phases are first unwrapped along the symbol axis (the
+    symbol-to-symbol step is < 0.01 rad at any plausible SFO, so the
+    wrapped difference is exact), then the slope is a least-squares fit
+    over the 4 pilot positions (the pilot set is symmetric, so the
+    common phase cancels from the fit), then a causal ``window``-symbol
+    moving average plays the role of the reference's SFO_tracker IIR:
+    drift changes slowly, noise doesn't.
+    """
+    theta = jnp.angle(pv)                                   # (B, S, 4)
+    d = theta[:, 1:] - theta[:, :-1]
+    d = jnp.mod(d + np.pi, 2 * np.pi) - np.pi
+    theta_u = jnp.cumsum(
+        jnp.concatenate([theta[:, :1], d], axis=1), axis=1)
+    ksc = jnp.asarray(C.PILOT_SC.astype(np.float32))
+    slope = jnp.sum(theta_u * ksc, axis=-1) / float(
+        np.sum(C.PILOT_SC.astype(np.float64) ** 2))         # (B, S)
+    S = slope.shape[1]
+    w = min(window, S)
+    cs = jnp.pad(jnp.cumsum(slope, axis=1), ((0, 0), (1, 0)))
+    s_idx = np.arange(S)
+    lo = np.maximum(0, s_idx + 1 - w)
+    tot = cs[:, s_idx + 1] - cs[:, lo]
+    return tot / jnp.asarray((s_idx + 1 - lo).astype(np.float32))
+
+
 @partial(jax.jit, static_argnames=("nsym",))
 def extract_symbols(x: jnp.ndarray, lts1: jnp.ndarray, cfo: jnp.ndarray,
                     nsym: int):
@@ -230,14 +267,26 @@ def extract_symbols(x: jnp.ndarray, lts1: jnp.ndarray, cfo: jnp.ndarray,
     S = dfft.fft64(sym)                               # (B, nsym+1, 64)
     Hc = jnp.conj(H)[:, None, :]
     E = S * Hc / (jnp.abs(H[:, None, :]) ** 2 + 1e-12)
-    # pilot-driven common phase correction per symbol
+    # pilot-driven phase + slope tracking per symbol — the TPilotTrack
+    # const + i*delta subcarrier rotation (pilot.hpp:142-236): a sample
+    # clock offset (SFO) slides the FFT window linearly through the
+    # frame, which in frequency is a per-subcarrier phase ramp growing
+    # symbol by symbol; the 4 pilots measure both the common phase and
+    # that ramp's slope every symbol
     pol = jnp.asarray(C.PILOT_POLARITY, dtype=jnp.float32)[
         jnp.arange(nsym + 1) % 127]
     pv = E[:, :, jnp.asarray(C.PILOT_BINS)] * \
         (jnp.asarray(C.PILOT_VAL, dtype=jnp.float32)[None, None, :]
          * pol[None, :, None])
-    ph = jnp.angle(jnp.sum(pv, axis=-1))
-    E = E * jnp.exp(-1j * ph)[:, :, None]
+    slope = _pilot_slope(pv)
+    # de-ramp BEFORE the common-phase sum: at drift slope = pi/28 the raw
+    # pilot sum 2(cos 21d + cos 7d) crosses zero and angle() would flip pi
+    ksc = jnp.asarray(C.PILOT_SC.astype(np.float32))
+    pvc = pv * jnp.exp(-1j * slope[:, :, None] * ksc[None, None, :])
+    ph = jnp.angle(jnp.sum(pvc, axis=-1))
+    kbin = jnp.asarray(((np.arange(64) + 32) % 64 - 32).astype(np.float32))
+    E = E * jnp.exp(-1j * (ph[:, :, None]
+                           + slope[:, :, None] * kbin[None, None, :]))
     eq = E[:, :, jnp.asarray(C.DATA_BINS)]
     # gain-normalize so demap soft scaling holds for any TX amplitude
     gain = jnp.mean(jnp.abs(eq[:, 0, :]), axis=-1) + 1e-12

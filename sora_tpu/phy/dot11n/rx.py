@@ -207,16 +207,29 @@ def extract_symbols(x: jnp.ndarray, lts1: jnp.ndarray, cfo: jnp.ndarray,
     xd = jnp.einsum("bkij,bnkj->bnki", Hd_inv, Sd)            # (B,nsym,52,2)
     xpil = jnp.einsum("bkij,bnkj->bnki", Hp_inv, Sp)          # (B,nsym,4,2)
 
-    # common phase tracking from the HT pilots (TPilotTrack_11n,
-    # pilot_11n.hpp:99)
+    # phase + slope tracking from the HT pilots (TPilotTrack_11n,
+    # pilot_11n.hpp:99 + the const/delta rotation of pilot.hpp:142-236).
+    # An SFO window drift multiplies the received Y_k by exp(j*delta*k)
+    # which commutes through the ZF inverse, so every stream's detected
+    # pilot carries the same common-phase + per-subcarrier ramp.
+    from sora_tpu.phy.dot11a.rx import _pilot_slope
     from sora_tpu.phy.dot11n.tx import _pilot_table
     expect = jnp.asarray(_pilot_table(nsym))                  # (nsym,2,4)
     # xpil is (B, nsym, pilot, stream) -> align to (nsym, stream, pilot)
+    pvs = (jnp.transpose(xpil, (0, 1, 3, 2))
+           * jnp.conj(expect.astype(jnp.complex64))[None])
+    pv4 = jnp.sum(pvs, axis=2)                   # (B, nsym, 4) per pilot
+    slope = _pilot_slope(pv4)
+    # de-ramp before the common-phase sum (see phy.dot11a.rx: the raw
+    # pilot sum crosses zero at drift slope = pi/28 and flips angle by pi)
+    k4 = jnp.asarray(N.HT_PILOT_SC.astype(np.float32))
     ph = jnp.angle(jnp.sum(
-        jnp.transpose(xpil, (0, 1, 3, 2))
-        * jnp.conj(expect.astype(jnp.complex64))[None],
-        axis=(-2, -1)))
-    xd = xd * jnp.exp(-1j * ph)[:, :, None, None]
+        pv4 * jnp.exp(-1j * slope[:, :, None] * k4[None, None, :]),
+        axis=-1))
+    k52 = jnp.asarray(N.HT_DATA_SC.astype(np.float32))
+    xd = xd * jnp.exp(-1j * (ph[:, :, None]
+                             + slope[:, :, None] * k52[None, None, :])
+                      )[:, :, :, None]
     return sig_eq, xd, snr_db
 
 
