@@ -178,7 +178,8 @@ def main():
 
     b_msps = _bench_11b(device_complex, log)
     n_msps = _bench_11n(device_complex, log)
-    node_fps, node_ratio, node_dev_ratio = _bench_node(log)
+    (node_fps, node_ratio, node_dev_ratio, sparse_ratio,
+     compact_x) = _bench_node(log)
 
     print(json.dumps({
         "metric": "dot11a54_rx_throughput",
@@ -192,6 +193,8 @@ def main():
         "node_frames_s": round(node_fps, 1),
         "node_rt_ratio": round(node_ratio, 3),
         "node_device_ratio": round(node_dev_ratio, 3),
+        "node_sparse_device_ratio": round(sparse_ratio, 3),
+        "node_compaction_speedup": round(compact_x, 2),
         "compile_first_s": round(compile_s, 1),
     }))
 
@@ -315,8 +318,36 @@ def _bench_node(log):
         f"{air*1e3:.0f} ms of air -> ratio {dev_ratio:.3f}; one-batch "
         f"int16 transfer {xfer_s*1e3:.0f} ms "
         f"({xw.nbytes/2/xfer_s/1e6:.0f} MB/s wire)")
+
+    # sparse-air candidate compaction (VERDICT r03 item 2): the decode
+    # tail is shape-static, so without compaction idle air pays the full
+    # batch*K extract/demap/Viterbi; with a decode_slots bucket only the
+    # highest-det candidates pay it and the tail scales with frames
+    # PRESENT.  Same program shapes as the node, ~1 frame per window.
+    from sora_tpu.phy.dot11a import rx as arx
+
+    src_sp = synthetic_traffic(80, addr, mixed=False, rate=24, gap=30000)
+    xsp = np.asarray(src_sp)
+    xw_sp = np.stack([xsp[(i * hop) % max(1, len(xsp) - cfg.window):]
+                      [: cfg.window] for i in range(cfg.batch)])
+    xd_sp = device_complex16(xw_sp)
+    K = cfg.max_frames_per_window
+    full = lambda xb: arx.rx_pipeline_auto(xb, max_psdu=cfg.max_psdu,
+                                           n_frames=K)
+    comp = lambda xb: arx.rx_pipeline_auto(xb, max_psdu=cfg.max_psdu,
+                                           n_frames=K,
+                                           n_decode=2 * cfg.batch)
+    fdt, fok = _amortized(full, xd_sp, "ok", reps=10)
+    cdt, cok = _amortized(comp, xd_sp, "ok", reps=10)
+    assert int(cok.sum()) == int(fok.sum()), \
+        (int(cok.sum()), int(fok.sum()))
+    r_full, r_comp = fdt / air, cdt / air
+    log(f"  sparse-air compaction: {int(fok.sum())} frames/batch; "
+        f"full {cfg.batch * K} rows {fdt*1e3:.1f} ms (ratio "
+        f"{r_full:.3f}) -> top-{2 * cfg.batch} rows {cdt*1e3:.1f} ms "
+        f"(ratio {r_comp:.3f}), {fdt / cdt:.1f}x")
     ring.close()
-    return fps, rep.avg_ratio, dev_ratio
+    return fps, rep.avg_ratio, dev_ratio, r_comp, fdt / cdt
 
 
 if __name__ == "__main__":

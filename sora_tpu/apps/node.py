@@ -205,9 +205,10 @@ def main(argv=None) -> int:
         rings = [RxRing(capacity=1 << 22)]
     ring = rings if args.phy == "n" else rings[0]
     node = StreamingNode(ring, cfg, tx_sink=TxSink())
-    _log(f"node: window={window} batch={batch} overlap={overlap} "
-         f"front_end={input_rate} pace={rate_sps/1e6:.1f} Msps "
-         f"src={len(src)} samples loop={bool(args.loop or args.dump)}")
+    _log(f"node: window={cfg.window} batch={cfg.batch} "
+         f"overlap={cfg.overlap} front_end={input_rate} "
+         f"pace={(rate_sps or default_sps)/1e6:.1f} Msps "
+         f"src={src.shape[-1]} samples loop={bool(args.loop or args.dump)}")
     _log("compiling device programs ...")
     t0 = time.perf_counter()
     node.warm_up()

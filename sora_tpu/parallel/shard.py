@@ -165,6 +165,10 @@ def synchronize_sharded_11n(x: jnp.ndarray, mesh: Mesh):
         sts = jnp.minimum(onset + 16, nglob - 1)     # plateau interior
         own = (sts >= sp_i * nloc) & (sts < (sp_i + 1) * nloc)
         loc = jnp.clip(sts - sp_i * nloc, 0, nloc - 1)
+        det_l = jnp.where(own,
+                          jnp.take_along_axis(m, loc[:, None], 1)[:, 0],
+                          0.0)
+        det = jax.lax.psum(det_l, "sp")   # antenna-summed plateau quality
         w_l = jnp.where(own, jnp.take_along_axis(w, loc[:, None], 1)[:, 0],
                         0.0)
         wsel = jax.lax.psum(w_l, "sp")
@@ -185,12 +189,12 @@ def synchronize_sharded_11n(x: jnp.ndarray, mesh: Mesh):
         cand_li = jax.lax.all_gather(lts_loc + sp_i * nloc, "sp")
         bl = jnp.argmax(cand_lv, axis=0)
         lts1 = jnp.take_along_axis(cand_li, bl[None], 0)[0]
-        return lts1.astype(jnp.int32), cfo
+        return lts1.astype(jnp.int32), cfo, det
 
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=P("dp", None, "sp"),
-        out_specs=(P("dp"), P("dp")),
+        out_specs=(P("dp"), P("dp"), P("dp")),
         check_vma=False,
     )
     return fn(x)
@@ -205,28 +209,31 @@ def rx_pipeline_sharded_11n(x: jnp.ndarray, mesh: Mesh, mcs: int,
 
     xs = _shard_in(x, mesh, input_rate, P("dp", None, "sp"),
                    P("dp", None, "sp", None))
-    lts1, cfo = synchronize_sharded_11n(xs, mesh)
+    lts1, cfo, det = synchronize_sharded_11n(xs, mesh)
     all_axes = P(("dp", "sp"), None, None)
     xd = jax.device_put(xs, NamedSharding(mesh, all_axes))
     lts1_d = jax.device_put(lts1, NamedSharding(mesh, P(("dp", "sp"))))
     cfo_d = jax.device_put(cfo, NamedSharding(mesh, P(("dp", "sp"))))
+    det_d = jax.device_put(det, NamedSharding(mesh, P(("dp", "sp"))))
 
     nsym = nrx.max_symbols(mcs, max_psdu)
 
     @jax.jit
-    def decode(xb, l1, cf):
+    def decode(xb, l1, cf, dt):
         sig_eq, xdet, snr_db = nrx.extract_symbols(xb, l1, cf, nsym)
         lsig_ok = nrx.decode_lsig(sig_eq[:, 0])
         mcs_rx, length, htsig_ok = nrx.decode_htsig(sig_eq[:, 1:])
         length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
         psdu, fcs_ok = nrx.decode_data(xdet, length, mcs, max_psdu)
-        ok = lsig_ok & htsig_ok & (mcs_rx == mcs) & fcs_ok
+        cs_ok = dt >= nrx.CS_DET_THRESHOLD
+        ok = cs_ok & lsig_ok & htsig_ok & (mcs_rx == mcs) & fcs_ok
         return {"psdu": psdu, "ok": ok.astype(jnp.uint8),
                 "fcs_ok": fcs_ok.astype(jnp.uint8),
+                "cs_ok": cs_ok.astype(jnp.uint8), "det": dt,
                 "mcs": mcs_rx.astype(jnp.int32),
                 "length": length, "snr_db": snr_db}
 
-    return decode(xd, lts1_d, cfo_d)
+    return decode(xd, lts1_d, cfo_d, det_d)
 
 
 def _shard_in(x, mesh: Mesh, input_rate: str, spec, host_spec):
@@ -333,23 +340,21 @@ def rx_pipeline_sharded_11n_auto(x: jnp.ndarray, mesh: Mesh,
 
     xs = _shard_in(x, mesh, input_rate, P("dp", None, "sp"),
                    P("dp", None, "sp", None))
-    lts1, cfo = synchronize_sharded_11n(xs, mesh)
+    lts1, cfo, det = synchronize_sharded_11n(xs, mesh)
     all_axes = P(("dp", "sp"), None, None)
     xd = jax.device_put(xs, NamedSharding(mesh, all_axes))
     bspec = NamedSharding(mesh, P(("dp", "sp")))
     lts1_d = jax.device_put(lts1, bspec)
     cfo_d = jax.device_put(cfo, bspec)
+    det_d = jax.device_put(det, bspec)
     nsym_win = max(1, (int(xs.shape[-1]) - nrx._OFF_DATA) // 80)
     nsym_max = nrx._auto_tables_n(max_psdu, nsym_win)[3]
 
     @jax.jit
-    def decode(xb, l1, cf):
+    def decode(xb, l1, cf, dt):
         sig_eq, xdet, snr_db = nrx.extract_symbols(xb, l1, cf, nsym_max)
-        # sharded sync has no per-candidate det metric; the decode gate
-        # is L-SIG/HT-SIG + FCS (det folded in by the caller if needed)
-        dt = jnp.ones(xb.shape[0], jnp.float32)
         out = nrx.auto_tail(sig_eq, xdet, dt, max_psdu, nsym_win)
         out["snr_db"] = snr_db
         return out
 
-    return decode(xd, lts1_d, cfo_d)
+    return decode(xd, lts1_d, cfo_d, det_d)

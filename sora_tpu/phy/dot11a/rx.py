@@ -104,8 +104,9 @@ def synchronize(x: jnp.ndarray):
     return lts1, cfo, det
 
 
-@partial(jax.jit, static_argnames=("n_frames",))
-def synchronize_multi(x: jnp.ndarray, n_frames: int):
+@partial(jax.jit, static_argnames=("n_frames", "det_threshold"))
+def synchronize_multi(x: jnp.ndarray, n_frames: int,
+                      det_threshold: float = CS_DET_THRESHOLD):
     """Packet detect for up to ``n_frames`` frames per stream — the
     re-arming RX loop of the reference (MAC11a_Receive decodes frame
     after frame from one stream, mac.cpp:190-280; CCA re-arms via
@@ -117,7 +118,10 @@ def synchronize_multi(x: jnp.ndarray, n_frames: int):
     quality threshold (a relative-to-window-max rule would hide a weak
     frame next to a strong one), with edges within 240 samples of a
     prior hit suppressed (a plateau is ~100 samples of jittery highs;
-    two real preambles are >= 320 samples apart).
+    two real preambles are >= 320 samples apart).  ``det_threshold`` is
+    that edge threshold — the same config knob as the single-frame
+    carrier-sense gate (NodeConfig.detect_threshold), so a weak frame
+    the single-frame path would decode is visible here too.
 
     x: (B, N) complex64.  Returns (lts1, cfo, det), each (B*n_frames,)
     candidate-major within stream (row b*n_frames + k = k-th onset of
@@ -132,7 +136,7 @@ def synchronize_multi(x: jnp.ndarray, n_frames: int):
     gate = en > 0.05 * jnp.max(en, axis=-1, keepdims=True)
     m = jnp.where(gate, jnp.abs(w) / (en + 1e-9), 0.0)
     valid = m[:, : max(1, N - 480)]
-    hit = valid >= max(0.75, CS_DET_THRESHOLD)
+    hit = valid >= det_threshold
     # suppress edges within 240 samples after a hit: prior[t] = number of
     # hits in [t-240, t-1] via a cumsum difference
     cs = jnp.cumsum(hit.astype(jnp.int32), axis=-1)
@@ -475,9 +479,12 @@ def _auto_tables(max_psdu: int, nsym_cap: int = 1 << 30):
             nsym_max, t_max)
 
 
-@partial(jax.jit, static_argnames=("max_psdu", "input_rate", "n_frames"))
+@partial(jax.jit, static_argnames=("max_psdu", "input_rate", "n_frames",
+                                   "n_decode", "det_threshold"))
 def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
-                     input_rate: str = "20m", n_frames: int = 1):
+                     input_rate: str = "20m", n_frames: int = 1,
+                     n_decode: int = 0,
+                     det_threshold: float = CS_DET_THRESHOLD):
     """Complete batched RX with per-frame runtime rate dispatch: a batch
     mixing all eight 802.11a rates decodes in ONE jit program.
 
@@ -487,8 +494,18 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
     candidate-major within stream.  Saturated back-to-back traffic then
     decodes completely from one window instead of one-frame-per-window.
 
+    ``n_decode`` (with ``n_frames > 1``) compacts the candidate set
+    before the expensive tail: only the ``n_decode`` highest-det
+    candidates of the WHOLE batch are extracted/demapped/Viterbi-decoded,
+    so decode cost scales with frames present on the air, not with the
+    B*K candidate slots — matching the reference's re-arming loop, which
+    decodes exactly the frames it finds (mac.cpp:190-280).  Output rows
+    then number ``n_decode`` and carry ``src`` (the original candidate
+    row b*n_frames + k each slot came from); a batch holding more real
+    frames than ``n_decode`` drops the weakest-det surplus.
+
     x: (B, N) complex64 streams (raw 40 Msps with ``input_rate="40m"``).
-    Returns the rx_pipeline dict plus rate_mbps (B,) int32.
+    Returns the rx_pipeline dict plus rate_mbps int32 per row.
     """
     if input_rate == "40m":
         from sora_tpu.phy import frontend as fe
@@ -501,20 +518,31 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
     nsym_win = max(1, (int(x.shape[1]) - 208) // 80)
     mats, nsyms, ndbps_tab, nsym_max, t_max = _auto_tables(max_psdu,
                                                            nsym_win)
+    src = None
     if n_frames > 1:
-        lts1, cfo, det = synchronize_multi(x, n_frames)
-        x = jnp.repeat(x, n_frames, axis=0)
+        lts1, cfo, det = synchronize_multi(x, n_frames, det_threshold)
+        if 0 < n_decode < x.shape[0] * n_frames:
+            det, idx = jax.lax.top_k(det, n_decode)
+            src = idx.astype(jnp.int32)
+            lts1 = lts1[idx]
+            cfo = cfo[idx]
+            x = x[idx // n_frames]
+        else:
+            x = jnp.repeat(x, n_frames, axis=0)
     else:
         lts1, cfo, det = synchronize(x)
     eq, snr_db = extract_symbols(x, lts1, cfo, nsym_max)
-    out = auto_tail(eq, det, max_psdu, nsym_win)
+    out = auto_tail(eq, det, max_psdu, nsym_win, det_threshold)
     out.update({"snr_db": snr_db, "lts1": lts1, "cfo": cfo})
+    if src is not None:
+        out["src"] = src
     return out
 
 
-@partial(jax.jit, static_argnames=("max_psdu", "nsym_cap"))
+@partial(jax.jit, static_argnames=("max_psdu", "nsym_cap",
+                                   "det_threshold"))
 def auto_tail(eq: jnp.ndarray, det: jnp.ndarray, max_psdu: int,
-              nsym_cap: int):
+              nsym_cap: int, det_threshold: float = CS_DET_THRESHOLD):
     """SIGNAL parse + mixed-rate data decode from equalized carriers —
     the shared back half of :func:`rx_pipeline_auto`, also driven
     batch-parallel by the sharded pipeline (parallel.shard).
@@ -556,7 +584,7 @@ def auto_tail(eq: jnp.ndarray, det: jnp.ndarray, max_psdu: int,
     bits = dvit.decode_auto(ab, terminated=True)
     psdu, fcs_ok = _finish_frame(bits, length, t_max)
 
-    cs_ok = det > CS_DET_THRESHOLD
+    cs_ok = det >= det_threshold
     ok = cs_ok & sig_ok & known & fcs_ok
     mbps = jnp.asarray(np.array(_RATE_LIST, np.int32))[rate_idx]
     return {"psdu": psdu, "fcs_ok": fcs_ok.astype(jnp.uint8),

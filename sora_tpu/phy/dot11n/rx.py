@@ -38,7 +38,7 @@ from sora_tpu.dsp import scramble as dscr
 from sora_tpu.dsp import viterbi as dvit
 from sora_tpu.phy import common as C
 from sora_tpu.phy import dot11n_common as N
-from sora_tpu.phy.dot11a.rx import MAX_PSDU
+from sora_tpu.phy.dot11a.rx import CS_DET_THRESHOLD, MAX_PSDU
 
 _LTS_SYM = np.asarray(C.LTS_TIME_SYM, dtype=np.complex64)
 _LTS_SIGN = np.zeros(64, dtype=np.float32)
@@ -370,9 +370,11 @@ def rx_pipeline(x: jnp.ndarray, mcs: int, max_psdu: int = MAX_PSDU):
     length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
     psdu, fcs_ok = decode_data(xd, length, mcs, max_psdu)
     sig_ok = lsig_ok & htsig_ok
-    ok = sig_ok & (mcs_rx == mcs) & fcs_ok
+    cs_ok = det >= CS_DET_THRESHOLD
+    ok = cs_ok & sig_ok & (mcs_rx == mcs) & fcs_ok
     return {"psdu": psdu, "fcs_ok": fcs_ok.astype(jnp.uint8),
             "sig_ok": sig_ok.astype(jnp.uint8), "ok": ok.astype(jnp.uint8),
+            "cs_ok": cs_ok.astype(jnp.uint8), "det": det,
             "mcs": mcs_rx.astype(jnp.int32), "length": length,
             "snr_db": snr_db, "lts1": lts1, "cfo": cfo}
 
@@ -460,12 +462,16 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU):
     return out
 
 
-@partial(jax.jit, static_argnames=("max_psdu", "nsym_cap"))
+@partial(jax.jit, static_argnames=("max_psdu", "nsym_cap",
+                                   "det_threshold"))
 def auto_tail(sig_eq: jnp.ndarray, xd: jnp.ndarray, det: jnp.ndarray,
-              max_psdu: int, nsym_cap: int):
+              max_psdu: int, nsym_cap: int,
+              det_threshold: float = CS_DET_THRESHOLD):
     """L-SIG/HT-SIG parse + mixed-MCS ZF decode from detected symbols —
     the shared back half of :func:`rx_pipeline_auto`, also driven
-    batch-parallel by the sharded pipeline (parallel.shard)."""
+    batch-parallel by the sharded pipeline (parallel.shard).  ``ok`` is
+    gated on the carrier-sense metric like the 11a chain (TCCA11n's
+    decision statistic, cca_11n.hpp:7)."""
     mats, nsyms, ndbps_tab, nsym_max, t_max = _auto_tables_n(max_psdu,
                                                              nsym_cap)
     B = sig_eq.shape[0]
@@ -505,9 +511,11 @@ def auto_tail(sig_eq: jnp.ndarray, xd: jnp.ndarray, det: jnp.ndarray,
     psdu, fcs_ok = _finish_frame(bits, length, t_max, max_psdu)
 
     sig_ok = lsig_ok & htsig_ok
-    ok = sig_ok & known & fcs_ok
+    cs_ok = det >= det_threshold
+    ok = cs_ok & sig_ok & known & fcs_ok
     return {"psdu": psdu, "fcs_ok": fcs_ok.astype(jnp.uint8),
             "sig_ok": sig_ok.astype(jnp.uint8), "ok": ok.astype(jnp.uint8),
+            "cs_ok": cs_ok.astype(jnp.uint8),
             "mcs": mcs_rx.astype(jnp.int32), "length": length, "det": det}
 
 
@@ -542,6 +550,9 @@ def demodulate(x, expect_mcs: int | None = None) -> RxResult:
     lts1, cfo, det = synchronize(xb)
     res.start = int(lts1[0])
     res.cfo = float(cfo[0])
+    if float(det[0]) < CS_DET_THRESHOLD:
+        res.reason = "cs_timeout"       # E_ERROR_CS_TIMEOUT analogue
+        return res
     sig_eq, _, snr = extract_symbols(xb, lts1, cfo, 0)
     res.snr_est_db = float(snr[0])
     lsig_ok = decode_lsig(sig_eq[:, 0]).astype(jnp.uint8)

@@ -83,6 +83,9 @@ class NodeConfig:
     mcs: int | None = None        # 11n: None = mixed-MCS auto dispatch
     min_rate_mbps: float | None = None  # slowest rate expected on air
     max_frames_per_window: int = 0  # decode candidates per window (0 = auto)
+    decode_slots: int = 0         # decode-tail rows per batch (0 = auto):
+    # the candidate-compaction bucket — only this many highest-det
+    # candidates of a batch pay extract/demap/Viterbi; -1 disables
     ack_rate: float | None = None  # None = per-phy default (6 OFDM / 2 DSSS)
     addr: bytes = b"\x02SORA1"
     sample_rate_sps: float = 20e6
@@ -148,6 +151,17 @@ class NodeConfig:
                     1, min(8, -(-hop // max(1, min_span))))
             else:
                 self.max_frames_per_window = 1
+        if self.decode_slots <= 0:
+            # default: every candidate slot decodes (correct under any
+            # load).  Sparse live air should set an explicit bucket
+            # (e.g. 4*batch): only that many highest-det candidates per
+            # batch pay extract/demap/Viterbi, and the tail cost scales
+            # with frames present instead of with batch*K slots.
+            self.decode_slots = self.batch * self.max_frames_per_window
+        else:
+            self.decode_slots = min(
+                self.decode_slots,
+                self.batch * self.max_frames_per_window)
 
 
 @dataclass
@@ -369,9 +383,14 @@ class StreamingNode:
 
         cfg = self.cfg
         if cfg.rate_mbps is None:
+            nd = (cfg.decode_slots
+                  if cfg.decode_slots < cfg.batch * cfg.max_frames_per_window
+                  else 0)
             decode = lambda xb, m=cfg.max_psdu, ir=cfg.input_rate, \
-                k=cfg.max_frames_per_window: arx.rx_pipeline_auto(
-                    xb, max_psdu=m, input_rate=ir, n_frames=k)
+                k=cfg.max_frames_per_window, nd=nd, \
+                dt=float(cfg.detect_threshold): arx.rx_pipeline_auto(
+                    xb, max_psdu=m, input_rate=ir, n_frames=k,
+                    n_decode=nd, det_threshold=dt)
         else:
             decode = lambda xb, r=int(cfg.rate_mbps), m=cfg.max_psdu, \
                 ir=cfg.input_rate: arx.rx_pipeline(
@@ -827,26 +846,36 @@ class StreamingNode:
         cfg = self.cfg
         sub = self._pos_scale()
         nrows = len(out["ok"])
-        K = max(1, nrows // max(1, len(metas)))   # decode cands per window
+        src = out.get("src")
+        if src is not None:
+            # compacted candidate rows: ``src`` maps each decode slot
+            # back to its (window, onset) candidate
+            K = cfg.max_frames_per_window
+            win_of = np.asarray(src) // K
+        else:
+            K = max(1, nrows // max(1, len(metas)))  # cands per window
+            win_of = np.arange(nrows) // K
         cs_ok = out.get("cs_ok")
         if cs_ok is None:
             cs_ok = np.repeat((det >= cfg.detect_threshold), K
                               ).astype(np.uint8)
-        # carrier sense for the TX FSM: any window with energy marks the
-        # medium busy through its end (window-granular CCA)
+        # window-level carrier accounting: any fired candidate marks the
+        # medium busy through its window's end (window-granular CCA for
+        # the TX FSM); a window with no fired candidate is idle air
+        fired = np.zeros(len(metas), bool)
         for i in range(nrows):
             if cs_ok[i]:
+                fired[win_of[i]] = True
+        for w, f in enumerate(fired):
+            if f:
                 self._busy_until = max(self._busy_until,
-                                       metas[i // K] + cfg.window)
+                                       metas[w] + cfg.window)
+            else:
+                self.stats.cs_timeout += 1
         anchor = out.get("pos", out.get("lts1"))
         for i in range(nrows):
             if not out["ok"][i]:
-                if not cs_ok[i]:
-                    # only count air time once per window, not per
-                    # candidate slot (empty slots are not cs timeouts)
-                    if i % K == 0:
-                        self.stats.cs_timeout += 1
-                else:
+                if cs_ok[i]:
                     if not out["sig_ok"][i]:
                         self.stats.plcp_fail += 1
                     else:
@@ -855,7 +884,7 @@ class StreamingNode:
             n = int(out["length"][i])
             psdu = bytes(out["psdu"][i][:n])
             # dedup across overlapping windows by absolute sample position
-            pos = metas[i // K] + int(int(anchor[i]) * sub)
+            pos = metas[win_of[i]] + int(int(anchor[i]) * sub)
             key = psdu[:24]          # header incl. seq_ctrl
             # a true duplicate (same frame seen through two overlapping
             # windows) lands at the SAME absolute stream position, up to

@@ -173,3 +173,70 @@ def test_rx_auto_multi_frame_per_window(rng):
         assert bytes(psdu[k][:length[k]]) == psdus[i]
     # 4th candidate is empty air
     assert not ok[3]
+
+
+def test_rx_auto_candidate_compaction(rng):
+    """n_decode compacts the candidate set: 3 real frames in a 4-stream x
+    4-candidate batch decode through 8 decode slots, with ``src`` mapping
+    each slot back to its (stream, onset) candidate row."""
+    import jax.numpy as jnp
+
+    rates = [54, 12, 6]
+    psdus = [fr.build_data_frame(bytes(rng.integers(0, 256, 40,
+                                                    dtype=np.uint8)),
+                                 seq=i) for i in range(3)]
+    waves = [g.modulate(p, r).astype(np.complex64)
+             for p, r in zip(psdus, rates)]
+    x = np.zeros((4, 8192), np.complex64)
+    x[0, 30: 30 + len(waves[0])] = waves[0]          # stream 0: 1 frame
+    x[2, 100: 100 + len(waves[1])] = waves[1]        # stream 2: 2 frames
+    off2 = 100 + len(waves[1]) + 70
+    x[2, off2: off2 + len(waves[2])] = waves[2]
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)
+          ).astype(np.complex64) * 0.02
+    out = jrx.rx_pipeline_auto(jnp.asarray(x), max_psdu=256, n_frames=4,
+                               n_decode=8)
+    ok = np.asarray(out["ok"])
+    src = np.asarray(out["src"])
+    assert len(ok) == 8 and len(src) == 8
+    assert ok.sum() == 3, (ok, np.asarray(out["det"]))
+    hits = np.flatnonzero(ok)
+    got = {}
+    for k in hits:
+        stream, slot = int(src[k]) // 4, int(src[k]) % 4
+        n = int(np.asarray(out["length"])[k])
+        got[(stream, slot)] = (int(np.asarray(out["rate_mbps"])[k]),
+                               bytes(np.asarray(out["psdu"])[k][:n]))
+    assert got == {(0, 0): (54, psdus[0]), (2, 0): (12, psdus[1]),
+                   (2, 1): (6, psdus[2])}
+
+
+def test_rx_auto_multi_mixed_snr(rng):
+    """A weak (~4 dB, det below the old hard-coded 0.75 bar) and a strong
+    frame share one window: with detect_threshold plumbed through
+    synchronize_multi, BOTH decode at the node default threshold."""
+    import jax.numpy as jnp
+
+    psdus = [fr.build_data_frame(bytes(rng.integers(0, 256, 40,
+                                                    dtype=np.uint8)),
+                                 seq=i) for i in range(2)]
+    strong = g.modulate(psdus[0], 6).astype(np.complex64)
+    weak = g.modulate(psdus[1], 6).astype(np.complex64)
+    sig_p = float(np.mean(np.abs(weak) ** 2))
+    sigma = np.sqrt(sig_p / (2.0 * 10 ** (4.0 / 10.0)))   # weak at ~4 dB
+    x = np.zeros((1, 8192), np.complex64)
+    x[0, 30: 30 + len(strong)] = strong * np.sqrt(10.0)   # ~14 dB
+    off = 30 + len(strong) + 80
+    x[0, off: off + len(weak)] = weak
+    x += sigma * (rng.normal(size=x.shape)
+                  + 1j * rng.normal(size=x.shape)).astype(np.complex64)
+    out = jrx.rx_pipeline_auto(jnp.asarray(x), max_psdu=256, n_frames=3)
+    ok = np.asarray(out["ok"])
+    det = np.asarray(out["det"])
+    assert ok[0] and ok[1], (ok, det)
+    assert det[1] < 0.75, f"weak det {det[1]} not weak enough to prove " \
+        "the threshold is config-driven"
+    got = np.asarray(out["psdu"])
+    length = np.asarray(out["length"])
+    assert bytes(got[0][:length[0]]) == psdus[0]
+    assert bytes(got[1][:length[1]]) == psdus[1]
