@@ -48,6 +48,14 @@ def _load(path: str, msps: int) -> np.ndarray:
     from sora_tpu.io.dumpfile import load_dump
     x = np.asarray(load_dump(path), dtype=np.complex128)
     x -= x.mean()
+    if msps == 44:
+        # 44 Msps NIC-interop capture: 10/11 resample + halfband on host
+        # (the jax 11a chain instead takes the raw dump via
+        # input_rate="44m" below — the CreateDemodGraph11a_44M path)
+        import jax.numpy as jnp
+        from sora_tpu.phy import frontend as fe
+        return np.asarray(fe.ofdm_frontend_44m(
+            jnp.asarray(x[None].astype(np.complex64))))[0]
     return x[:: msps // 20]
 
 
@@ -56,7 +64,7 @@ def run_demod(args) -> int:
 
     g, demod = _chains(args.std, args.chain)
     raw40 = (args.chain == "jax" and args.std == "11a"
-             and args.msps == 40 and not args.host_frontend)
+             and args.msps in (40, 44) and not args.host_frontend)
     if args.std == "11n":
         if len(args.infile) != 2:
             print("11n demod needs two --infile dumps (one per antenna)")
@@ -70,9 +78,10 @@ def run_demod(args) -> int:
     else:
         x = _load(args.infile[0], args.msps)
     sw = MacStopwatch(sample_rate=20e6)
-    n = x.shape[-1] // (2 if raw40 else 1)
+    n = int(x.shape[-1] // (args.msps / 20.0)) if raw40 else x.shape[-1]
     with sw.segment(n):
-        res = demod(x, input_rate="40m") if raw40 else demod(x)
+        res = (demod(x, input_rate=f"{args.msps}m") if raw40
+               else demod(x))
     rate = getattr(res, "rate_mbps", getattr(res, "mcs", "?"))
     print(f"frame: {res.reason} rate={rate} len={res.length} "
           f"fcs_ok={res.fcs_ok}")
@@ -136,8 +145,9 @@ def main(argv=None) -> int:
                    help="input dump (twice for 11n)")
     p.add_argument("--outfile", default="/tmp/sora_tpu_mod.dmp")
     p.add_argument("--payload", default="sora-tpu offline harness")
-    p.add_argument("--msps", type=int, default=40, choices=[20, 40],
-                   help="dump sample rate (demod decimates to 20)")
+    p.add_argument("--msps", type=int, default=40, choices=[20, 40, 44],
+                   help="dump sample rate (demod resamples to 20; 44 = "
+                        "the commercial-NIC interop capture rate)")
     p.add_argument("--scale", type=float, default=2000.0,
                    help="TX amplitude in 14-bit dump units")
     p.add_argument("--host-frontend", action="store_true",

@@ -59,9 +59,38 @@ def plcp_header_bits(rate_mbps: float, psdu_len: int) -> np.ndarray:
     return hdr
 
 
-def modulate(psdu: bytes, rate_mbps: float) -> np.ndarray:
-    """PSDU -> 11 Msps complex chips, long preamble format."""
+def modulate(psdu: bytes, rate_mbps: float,
+             preamble: str = "long") -> np.ndarray:
+    """PSDU -> 11 Msps complex chips, long or short preamble format
+    (the preamble_type 0=LONG / 1=SHORT contract of PHY_11b.hpp:26)."""
     psdu_bits = _bits_lsb(psdu)
+    if preamble == "short":
+        # Clause 18.2.5: 56 scrambled zeros + reversed SFD at 1 Mbps
+        # DBPSK, then the 48-bit header at 2 Mbps DQPSK; 1 Mbps data
+        # does not exist in the short format
+        if rate_mbps == 1:
+            raise ValueError("short preamble excludes 1 Mbps data")
+        pre = np.concatenate([
+            np.zeros(B.SYNC_BITS_SHORT, np.uint8),
+            np.array([(B.SFD_SHORT >> i) & 1 for i in range(16)],
+                     np.uint8),
+        ])
+        hdr = plcp_header_bits(rate_mbps, len(psdu))
+        plcp = B.scramble_11b(np.concatenate([pre, hdr]),
+                              seed=B.SCRAMBLER_SEED_SHORT)
+        ph_pre = _dbpsk_phases(plcp[:len(pre)])
+        ph_hdr = _dqpsk_phases(plcp[len(pre):].reshape(-1, 2),
+                               ph_pre[-1])
+        phases = np.concatenate([ph_pre, ph_hdr])
+        chips = [np.exp(1j * phases[:, None]) * B.BARKER[None, :]]
+        phi = phases[-1]
+        data_scrambled = _scramble_continue(plcp, psdu_bits)
+        if rate_mbps == 2:
+            ph = _dqpsk_phases(data_scrambled.reshape(-1, 2), phi)
+            chips.append(np.exp(1j * ph[:, None]) * B.BARKER[None, :])
+        else:
+            chips.append(_cck_modulate(data_scrambled, rate_mbps, phi))
+        return np.concatenate([c.reshape(-1) for c in chips])
     # PLCP preamble+header, scrambled as one stream
     pre = np.concatenate([
         np.ones(B.SYNC_BITS, np.uint8),

@@ -507,9 +507,9 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
     x: (B, N) complex64 streams (raw 40 Msps with ``input_rate="40m"``).
     Returns the rx_pipeline dict plus rate_mbps int32 per row.
     """
-    if input_rate == "40m":
+    if input_rate != "20m":
         from sora_tpu.phy import frontend as fe
-        x = fe.ofdm_frontend_40m(x)
+        x = fe.ofdm_frontend(x, input_rate)
     # static window capacity upper bound: extract_symbols needs
     # lts1 + 128 (LTS) + 80*(nsym+1) <= N, evaluated at the earliest
     # possible anchor lts1 = 0, i.e. nsym <= (N - 208) / 80.  Real
@@ -616,9 +616,9 @@ def rx_pipeline(x: jnp.ndarray, rate_mbps: int, max_psdu: int = MAX_PSDU,
     the framework — the analogue of the reference's MAC11a_Receive poll
     loop body (mac.cpp:190-280), fully fused under one jit.
     """
-    if input_rate == "40m":
+    if input_rate != "20m":
         from sora_tpu.phy import frontend as fe
-        x = fe.ofdm_frontend_40m(x)
+        x = fe.ofdm_frontend(x, input_rate)
     rate = C.RATES[rate_mbps]
     # cap the trellis at what the window can physically hold (the
     # lts1 = 0 upper bound (N - 208) // 80 — see rx_pipeline_auto):
@@ -669,9 +669,9 @@ def demodulate(x, expect_rate: int | None = None,
     from sora_tpu.util.xfer import device_complex
 
     xb = device_complex(np.asarray(x, dtype=np.complex64)[None, :])
-    if input_rate == "40m":
+    if input_rate != "20m":
         from sora_tpu.phy import frontend as fe
-        xb = fe.ofdm_frontend_40m(xb)
+        xb = fe.ofdm_frontend(xb, input_rate)
     res = RxResult()
     lts1, cfo, det = synchronize(xb)
     res.start = int(lts1[0])

@@ -29,6 +29,7 @@ from sora_tpu.dsp import filters as df
 from sora_tpu.phy import dot11b_common as B
 
 _SFD = np.array([(B.SFD_LONG >> i) & 1 for i in range(16)], np.uint8)
+_SFD_S = np.array([(B.SFD_SHORT >> i) & 1 for i in range(16)], np.uint8)
 _SFD_LIMIT = B.SYNC_BITS + 64           # search window for the SFD
 _PLCP_SYMS = B.SYNC_BITS + 16 + 48      # 1 Mbps symbols before data
 
@@ -150,17 +151,18 @@ def _dbpsk_bits(corr: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([one, bits], axis=-1)
 
 
-def find_sfd(desc: jnp.ndarray):
-    """Locate the SFD in descrambled 1 Mbps bits: XOR-distance against the
-    16-bit pattern at every offset via one matmul (TSFDSync analogue,
-    sfd_sync.hpp:12-134).  A genuine SFD is always preceded by the SYNC
-    field's scrambled ones, so candidates must follow 8 descrambled 1s —
-    without this, garbage bits decoded before the true sync (timing can
-    lock up to ~5 symbols early) occasionally alias the 16-bit pattern
-    and hijack the first-hit selection.  Returns (pos (B,), found (B,))."""
+def _find_pattern(desc: jnp.ndarray, pat_bits: np.ndarray,
+                  sync_bit: int):
+    """First offset where the descrambled 1 Mbps stream matches the
+    16-bit pattern AND the 8 preceding bits all equal ``sync_bit`` (1 =
+    the long SYNC's scrambled ones, 0 = the short SYNC's zeros): the
+    XOR-distance is one matmul over all offsets (TSFDSync analogue,
+    sfd_sync.hpp:12-134), and the sync-prefix guard rejects garbage bits
+    decoded before the true sync (timing can lock a few symbols early)
+    that occasionally alias the pattern.  Returns (pos (B,), found (B,))."""
     descf = desc.astype(jnp.float32)
     w = df.window_view(descf, 16)                       # (B, nw, 16)
-    pat = _SFD.astype(np.float32)
+    pat = pat_bits.astype(np.float32)
     dist = jnp.matmul(w, jnp.asarray(1.0 - 2.0 * pat),
                       precision=jax.lax.Precision.HIGHEST) + pat.sum()
     dist = dist[:, :_SFD_LIMIT]
@@ -168,9 +170,49 @@ def find_sfd(desc: jnp.ndarray):
     # sum8[t] = number of ones in desc[t .. t+7]
     sum8 = df.moving_sum(descf, 8)
     ones_before = jnp.pad(sum8, ((0, 0), (8, 0)))[:, :dist.shape[1]]
-    hit = hit & (ones_before.astype(jnp.int32) == 8)
+    hit = hit & (ones_before.astype(jnp.int32) == 8 * sync_bit)
     pos = jnp.argmax(hit, axis=1).astype(jnp.int32)     # first valid hit
     return pos, jnp.any(hit, axis=1)
+
+
+def find_sfd(desc: jnp.ndarray):
+    """Long-preamble SFD (preceded by descrambled ones)."""
+    return _find_pattern(desc, _SFD, 1)
+
+
+def parse_plcp_short(corr: jnp.ndarray, bits: jnp.ndarray,
+                     desc: jnp.ndarray):
+    """Short-preamble PLCP (Clause 18.2.5; preamble_type 1 of
+    PHY_11b.hpp:26): the reversed SFD follows descrambled ZEROS, and the
+    48 header bits ride 24 DQPSK symbols at 2 Mbps.
+
+    corr: (B, nsym) symbol correlations; bits: raw 1 Mbps decisions;
+    desc: their descramble.  Returns dict with found/signal/service/
+    length_us/crc_ok/data_sym0/prev7 (raw-bit descrambler prehistory
+    for the data section)."""
+    Bsz = bits.shape[0]
+    pos, found = _find_pattern(desc, _SFD_S, 0)
+    hs = pos + 16                                  # first header symbol
+    idx = hs[:, None] - 1 + jnp.arange(25)[None, :]
+    cs = jnp.take_along_axis(corr, jnp.clip(idx, 0, corr.shape[1] - 1), 1)
+    d = cs[:, 1:] * jnp.conj(cs[:, :-1])
+    q = jnp.round(jnp.angle(d) / (jnp.pi / 2)).astype(jnp.int32) % 4
+    demap = jnp.asarray(np.array([[0, 0], [0, 1], [1, 1], [1, 0]],
+                                 np.uint8))
+    raw = demap[q].reshape(Bsz, 48)                # raw scrambled bits
+    idx7 = hs[:, None] - 7 + jnp.arange(7)[None, :]
+    prev7h = jnp.take_along_axis(bits,
+                                 jnp.clip(idx7, 0, bits.shape[1] - 1), 1)
+    hdr = _descramble(raw, prev7h)
+    p2 = jnp.asarray(1 << np.arange(16, dtype=np.int64), jnp.int32)
+    signal = jnp.sum(hdr[:, 0:8].astype(jnp.int32) * p2[None, :8], axis=1)
+    service = jnp.sum(hdr[:, 8:16].astype(jnp.int32) * p2[None, :8],
+                      axis=1)
+    length_us = jnp.sum(hdr[:, 16:32].astype(jnp.int32) * p2[None, :],
+                        axis=1)
+    return {"found": found, "signal": signal, "service": service,
+            "length_us": length_us, "crc_ok": _crc16_check(hdr),
+            "data_sym0": hs + 24, "prev7": raw[:, -7:]}
 
 
 def parse_plcp(desc: jnp.ndarray, pos: jnp.ndarray):
@@ -189,6 +231,31 @@ def parse_plcp(desc: jnp.ndarray, pos: jnp.ndarray):
                         axis=1)
     return {"signal": signal, "service": service, "length_us": length_us,
             "crc_ok": _crc16_check(hdr), "hdr_start": hdr_start}
+
+
+def _parse_plcp_both(corr: jnp.ndarray, bits: jnp.ndarray,
+                     desc: jnp.ndarray):
+    """Auto-detected long/short PLCP parse: run both locators and select
+    per frame — the runtime preamble_type dispatch (PHY_11b.hpp:26).
+    Returns the merged header dict plus data_sym0 (first data symbol),
+    prev7 (raw-bit descrambler prehistory), preamble (0 long, 1 short)."""
+    pos_l, found_l = find_sfd(desc)
+    pl = parse_plcp(desc, pos_l)
+    sp = parse_plcp_short(corr, bits, desc)
+    use_s = sp["found"] & ~found_l
+    hdr_end_l = pl["hdr_start"] + 48
+    idx7 = hdr_end_l[:, None] - 7 + jnp.arange(7)[None, :]
+    prev7_l = jnp.take_along_axis(bits,
+                                  jnp.clip(idx7, 0, bits.shape[1] - 1), 1)
+    sel = lambda s_val, l_val: jnp.where(use_s, s_val, l_val)
+    return {"found": found_l | sp["found"],
+            "signal": sel(sp["signal"], pl["signal"]),
+            "service": sel(sp["service"], pl["service"]),
+            "length_us": sel(sp["length_us"], pl["length_us"]),
+            "crc_ok": jnp.where(use_s, sp["crc_ok"], pl["crc_ok"]),
+            "data_sym0": sel(sp["data_sym0"], hdr_end_l),
+            "prev7": jnp.where(use_s[:, None], sp["prev7"], prev7_l),
+            "preamble": use_s.astype(jnp.uint8)}
 
 
 def _data_nbits(rate_mbps: float, length_us: jnp.ndarray,
@@ -274,14 +341,13 @@ def rx_pipeline(x: jnp.ndarray, rate_mbps: float, max_psdu: int = 256):
     corr, t0, c = synchronize(x)
     bits = _dbpsk_bits(corr)                     # 1 Mbps raw bits
     desc = _descramble(bits)
-    pos, found = find_sfd(desc)
-    plcp = parse_plcp(desc, pos)
+    plcp = _parse_plcp_both(corr, bits, desc)
+    found = plcp["found"]
     sig_rate_ok = plcp["signal"] == B.SIGNAL_BYTE[rate_mbps]
     nbits = _data_nbits(rate_mbps, plcp["length_us"], plcp["service"])
     nbytes = jnp.clip(nbits // 8, 0, max_psdu).astype(jnp.int32)
 
-    hdr_end = plcp["hdr_start"] + 48             # first data bit index
-    data_chip0 = t0 + 11 * hdr_end
+    data_chip0 = t0 + 11 * plcp["data_sym0"]
     max_bits = max_psdu * 8
     if rate_mbps in (1, 2):
         nsym = max_bits if rate_mbps == 1 else max_bits // 2
@@ -289,11 +355,7 @@ def rx_pipeline(x: jnp.ndarray, rate_mbps: float, max_psdu: int = 256):
     else:
         nbps = 4 if rate_mbps == 5.5 else 8
         raw = _decode_cck(x, c, data_chip0, max_bits // nbps, rate_mbps)
-    # descrambler prehistory: the 7 raw header bits before the data
-    idx7 = hdr_end[:, None] - 7 + jnp.arange(7)[None, :]
-    prev7 = jnp.take_along_axis(bits, jnp.clip(idx7, 0, bits.shape[1] - 1),
-                                1)
-    data = _descramble(raw, prev7)
+    data = _descramble(raw, plcp["prev7"])
     p2 = jnp.asarray((1 << np.arange(8)).astype(np.int32))
     psdu = jnp.sum(data.reshape(Bsz, max_psdu, 8).astype(jnp.int32)
                    * p2[None, None, :], axis=2).astype(jnp.uint8)
@@ -313,6 +375,7 @@ def rx_pipeline(x: jnp.ndarray, rate_mbps: float, max_psdu: int = 256):
             "sig_rate_ok": sig_rate_ok.astype(jnp.uint8),
             "length": nbytes, "signal": plcp["signal"],
             "length_us": plcp["length_us"], "t0": t0,
+            "preamble": plcp["preamble"],
             # chip-stream position of the first data chip: a stable
             # frame anchor for cross-window dedup in the live node
             "data_chip0": data_chip0.astype(jnp.int32)}
@@ -341,12 +404,11 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = 256):
     corr, t0, c = synchronize(x)
     bits = _dbpsk_bits(corr)
     desc = _descramble(bits)
-    pos, found = find_sfd(desc)
-    plcp = parse_plcp(desc, pos)
+    plcp = _parse_plcp_both(corr, bits, desc)
+    found = plcp["found"]
     signal = plcp["signal"]
 
-    hdr_end = plcp["hdr_start"] + 48
-    data_chip0 = t0 + 11 * hdr_end
+    data_chip0 = t0 + 11 * plcp["data_sym0"]
     max_bits = max_psdu * 8
     rates = (1, 2, 5.5, 11)
     raws, nbits_r = [], []
@@ -369,11 +431,7 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = 256):
     mbps = jnp.sum(jnp.asarray([r for r in rates], jnp.float32)[:, None]
                    * onehot.astype(jnp.float32), axis=0)
 
-    # descrambler prehistory: the 7 raw header bits before the data
-    idx7 = hdr_end[:, None] - 7 + jnp.arange(7)[None, :]
-    prev7 = jnp.take_along_axis(bits, jnp.clip(idx7, 0, bits.shape[1] - 1),
-                                1)
-    data = _descramble(raw, prev7)
+    data = _descramble(raw, plcp["prev7"])
     p2 = jnp.asarray((1 << np.arange(8)).astype(np.int32))
     psdu = jnp.sum(data.reshape(Bsz, max_psdu, 8).astype(jnp.int32)
                    * p2[None, None, :], axis=2).astype(jnp.uint8)
@@ -392,6 +450,7 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = 256):
             "plcp_ok": plcp_ok.astype(jnp.uint8),
             "rate_mbps": mbps, "length": nbytes,
             "signal": signal, "length_us": plcp["length_us"], "t0": t0,
+            "preamble": plcp["preamble"],
             "data_chip0": data_chip0.astype(jnp.int32)}
 
 
@@ -399,13 +458,14 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = 256):
 def rx_plcp(x: jnp.ndarray, max_psdu: int = 256):
     """PLCP-only pass (rate-independent): returns signal/length/crc_ok so a
     host dispatcher can pick the data-rate pipeline — the TBB11bRxRateSel
-    two-phase analogue."""
+    two-phase analogue.  Long/short preamble auto-detected."""
     corr, t0, _ = synchronize(x)
-    desc = _descramble(_dbpsk_bits(corr))
-    pos, found = find_sfd(desc)
-    plcp = parse_plcp(desc, pos)
+    bits = _dbpsk_bits(corr)
+    desc = _descramble(bits)
+    plcp = _parse_plcp_both(corr, bits, desc)
     return {"signal": plcp["signal"], "length_us": plcp["length_us"],
-            "plcp_ok": (found & plcp["crc_ok"]).astype(jnp.uint8)}
+            "preamble": plcp["preamble"],
+            "plcp_ok": (plcp["found"] & plcp["crc_ok"]).astype(jnp.uint8)}
 
 
 # =============================================================================
@@ -432,7 +492,10 @@ def demodulate(x, max_psdu: int = 2048) -> RxResult:
     x = np.asarray(x)
     if x.ndim == 1:
         x = x[None, :]
-    if x.shape[1] < 11 * (_PLCP_SYMS + 8):
+    # minimum span: the SHORT PLCP (56 sync + 16 SFD + 24 header symbols)
+    # plus a little data — a long-only bound would reject short-preamble
+    # frames below ~2200 chips
+    if x.shape[1] < 11 * (B.SYNC_BITS_SHORT + 16 + 24 + 8):
         return res
     xd = device_complex(x.astype(np.complex64))
     head = jax.device_get(rx_plcp(xd, max_psdu=max_psdu))

@@ -92,20 +92,37 @@ def _seed_bits(seed: int) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _plcp_const(rate_mbps: float, psdu_len: int):
-    """(plcp chips (1936,) complex64, phi0 float, data scrambler seed int).
+def _plcp_const(rate_mbps: float, psdu_len: int, preamble: str = "long"):
+    """(plcp chips complex64, phi0 float, data scrambler seed int).
 
-    Long-preamble PLCP: 128 sync + 16 SFD + 48 header bits, scrambled from
-    seed 0x6C, DBPSK/Barker at 1 Mbps (Clause 18.2.3; reference
-    PHY_11b.hpp TBB11bSrc + fb11bmod_config).
+    Long-preamble PLCP: 128 sync + 16 SFD + 48 header bits, scrambled
+    from seed 0x6C, DBPSK/Barker at 1 Mbps (Clause 18.2.3; reference
+    PHY_11b.hpp TBB11bSrc + fb11bmod_config).  Short: 56 zero-sync +
+    reversed SFD at 1 Mbps, header at 2 Mbps DQPSK from seed 0x1B
+    (Clause 18.2.5; the preamble_type contract of PHY_11b.hpp:26).
     """
-    pre = np.concatenate([
-        np.ones(B.SYNC_BITS, np.uint8),
-        np.array([(B.SFD_LONG >> i) & 1 for i in range(16)], np.uint8),
-    ])
-    hdr = G.plcp_header_bits(rate_mbps, psdu_len)
-    plcp = B.scramble_11b(np.concatenate([pre, hdr]))
-    phases = G._dbpsk_phases(plcp)
+    if preamble == "short":
+        pre = np.concatenate([
+            np.zeros(B.SYNC_BITS_SHORT, np.uint8),
+            np.array([(B.SFD_SHORT >> i) & 1 for i in range(16)],
+                     np.uint8),
+        ])
+        hdr = G.plcp_header_bits(rate_mbps, psdu_len)
+        plcp = B.scramble_11b(np.concatenate([pre, hdr]),
+                              seed=B.SCRAMBLER_SEED_SHORT)
+        ph_pre = G._dbpsk_phases(plcp[:len(pre)])
+        ph_hdr = G._dqpsk_phases(plcp[len(pre):].reshape(-1, 2),
+                                 ph_pre[-1])
+        phases = np.concatenate([ph_pre, ph_hdr])
+    else:
+        pre = np.concatenate([
+            np.ones(B.SYNC_BITS, np.uint8),
+            np.array([(B.SFD_LONG >> i) & 1 for i in range(16)],
+                     np.uint8),
+        ])
+        hdr = G.plcp_header_bits(rate_mbps, psdu_len)
+        plcp = B.scramble_11b(np.concatenate([pre, hdr]))
+        phases = G._dbpsk_phases(plcp)
     chips = (np.exp(1j * phases[:, None]) * B.BARKER[None, :]).reshape(-1)
     seed = 0
     for i in range(7):
@@ -170,9 +187,13 @@ def _modulate_data(s: jnp.ndarray, rate_mbps: float, phi0: float
 # =============================================================================
 
 
-def waveform_len(rate_mbps: float, psdu_len: int) -> int:
+def waveform_len(rate_mbps: float, psdu_len: int,
+                 preamble: str = "long") -> int:
     nbits = psdu_len * 8
-    plcp = (B.SYNC_BITS + 16 + 48) * 11
+    if preamble == "short":
+        plcp = (B.SYNC_BITS_SHORT + 16 + 24) * 11
+    else:
+        plcp = (B.SYNC_BITS + 16 + 48) * 11
     if rate_mbps == 1:
         return plcp + nbits * 11
     if rate_mbps == 2:
@@ -181,14 +202,14 @@ def waveform_len(rate_mbps: float, psdu_len: int) -> int:
     return plcp + (nbits // nbps) * 8
 
 
-@partial(jax.jit, static_argnames=("rate_mbps", "psdu_len"))
-def modulate(psdu: jnp.ndarray, rate_mbps: float, psdu_len: int
-             ) -> jnp.ndarray:
+@partial(jax.jit, static_argnames=("rate_mbps", "psdu_len", "preamble"))
+def modulate(psdu: jnp.ndarray, rate_mbps: float, psdu_len: int,
+             preamble: str = "long") -> jnp.ndarray:
     """Batched 802.11b modulator: (B, psdu_len) uint8 -> (B, nchips)
-    complex64 at 11 Msps chip rate, long preamble.
+    complex64 at 11 Msps chip rate, long or short preamble.
 
     Matches golden/dot11b_np.modulate bit-exactly (tested)."""
-    plcp, phi0, seed = _plcp_const(rate_mbps, psdu_len)
+    plcp, phi0, seed = _plcp_const(rate_mbps, psdu_len, preamble)
     bits = _bits_device(psdu)
     s = scramble_tx(bits, seed)
     data = _modulate_data(s, rate_mbps, phi0)

@@ -18,6 +18,14 @@ SYNC_BITS = 128                  # scrambled ones
 SFD_LONG = 0xF3A0                # transmitted LSB first after the sync
 SCRAMBLER_SEED_LONG = 0x6C       # Clause 18.2.4: 1101100 (x7..x1)
 
+# PLCP short-preamble constants (Clause 18.2.5): 56 scrambled ZEROS, the
+# time-reversed SFD, then the 48-bit header at 2 Mbps DQPSK.  The
+# reference carries the mode as preamble_type 0=LONG 1=SHORT through the
+# 11b context (kernel/bb/Brick11/src/PHY_11b.hpp:26).
+SYNC_BITS_SHORT = 56             # scrambled zeros
+SFD_SHORT = 0x05CF               # bit-reverse of SFD_LONG
+SCRAMBLER_SEED_SHORT = 0x1B      # Clause 18.2.5.2: 0011011
+
 SIGNAL_BYTE = {1: 0x0A, 2: 0x14, 5.5: 0x37, 11: 0x6E}
 RATE_BY_SIGNAL = {v: k for k, v in SIGNAL_BYTE.items()}
 

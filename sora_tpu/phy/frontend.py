@@ -140,6 +140,36 @@ def ofdm_frontend_40m(x40: jnp.ndarray, phase: int = 0) -> jnp.ndarray:
     return downsample2(dc_remove(x40), phase=phase)
 
 
+@jax.jit
+def ofdm_frontend_44m(x44: jnp.ndarray) -> jnp.ndarray:
+    """Raw 44 Msps RX samples -> 20 Msps stream: the 11a/11n
+    commercial-NIC interop mode (CreateDemodGraph11a_44M,
+    kernel/bb/umxsdrbrick/fb11ademod_config.hpp:221 — TDownSample44_40
+    ahead of the standard graph).  10/11 polyphase resample to 40 Msps,
+    then the usual halfband decimation."""
+    return downsample2(resample(dc_remove(x44), 10, 11))
+
+
+def ofdm_frontend(x: jnp.ndarray, input_rate: str) -> jnp.ndarray:
+    """Dispatch the OFDM front end by input rate string ("20m" = already
+    at chain rate, "40m" = Sora<->Sora radio rate, "44m" = NIC interop)."""
+    if input_rate == "20m":
+        return x
+    if input_rate == "40m":
+        return ofdm_frontend_40m(x)
+    if input_rate == "44m":
+        return ofdm_frontend_44m(x)
+    raise ValueError(f"unknown OFDM input_rate {input_rate!r}")
+
+
+@jax.jit
+def ofdm_upsample_44m(x20: jnp.ndarray) -> jnp.ndarray:
+    """20 Msps OFDM waveform -> 44 Msps TX staging: the TX half of the
+    interop mode (CreateModGraph11a_44M + TUpsample40MTo44M,
+    kernel/bb/umxsdrbrick/fb11amod_config.hpp:114-118)."""
+    return resample(upsample2(x20), 11, 10)
+
+
 # ------------------------------- DSSS (11b) ---------------------------------
 
 _SPS44 = 4                 # 44 Msps / 11 MHz chips

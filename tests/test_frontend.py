@@ -136,3 +136,65 @@ def test_54mbps_golden_dump_roundtrip(tmp_path, rng):
     assert res.ok, res.reason
     assert res.rate_mbps == 54
     assert res.psdu == psdu
+
+
+def test_ofdm_44msps_interop_all_rates(rng):
+    """The 11a commercial-NIC interop mode: TX staged at 44 Msps
+    (TUpsample40MTo44M, fb11amod_config.hpp:114-118), RX through the
+    44->40->20 front end (CreateDemodGraph11a_44M,
+    fb11ademod_config.hpp:221) — every rate decodes via
+    input_rate="44m"."""
+    rates = sorted(arx.C.RATES)
+    psdus, waves = [], []
+    for i, r in enumerate(rates):
+        p = _psdu(rng, n=80, seq=i)
+        psdus.append(p)
+        w20 = np.concatenate([np.zeros(40), g.modulate(p, r),
+                              np.zeros(40)]).astype(np.complex64)
+        waves.append(np.asarray(fe.ofdm_upsample_44m(
+            jnp.asarray(w20[None])))[0])
+    N = max(len(w) for w in waves) + 200
+    x = np.zeros((len(rates), N), np.complex64)
+    for i, w in enumerate(waves):
+        x[i, 50: 50 + len(w)] = w
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)
+          ).astype(np.complex64) * 0.01
+    out = arx.rx_pipeline_auto(jnp.asarray(x), max_psdu=128,
+                               input_rate="44m")
+    ok = np.asarray(out["ok"])
+    assert ok.all(), (ok, np.asarray(out["rate_mbps"]))
+    assert list(np.asarray(out["rate_mbps"])) == rates
+    got = np.asarray(out["psdu"])
+    for i, p in enumerate(psdus):
+        assert bytes(got[i][: len(p)]) == p
+
+
+def test_ofdm_44msps_demodulate_single(rng):
+    psdu = _psdu(rng, n=120, seq=3)
+    w20 = np.concatenate([np.zeros(64), g.modulate(psdu, 24),
+                          np.zeros(64)]).astype(np.complex64)
+    w44 = np.asarray(fe.ofdm_upsample_44m(jnp.asarray(w20[None])))[0]
+    res = arx.demodulate(w44, input_rate="44m")
+    assert res.ok, res.reason
+    assert res.rate_mbps == 24 and res.psdu == psdu
+
+
+def test_ofdm_44msps_11n_node_front(rng):
+    """2x2 HT frames at the 44 Msps input rate through the node's OFDM
+    front-end dispatch (phy 'n', input_rate='44m')."""
+    from sora_tpu.golden import dot11n_np as gn
+    from sora_tpu.phy.dot11n import rx as nrx
+
+    psdu = _psdu(rng, n=90, seq=5)
+    w20 = np.asarray(gn.modulate(psdu, 10))          # (2, n)
+    w44 = np.asarray(fe.ofdm_upsample_44m(jnp.asarray(
+        np.pad(w20, ((0, 0), (50, 50))).astype(np.complex64))))
+    x = w44[None] + (rng.normal(size=(1,) + w44.shape)
+                     + 1j * rng.normal(size=(1,) + w44.shape)
+                     ).astype(np.complex64) * 0.01
+    x20 = fe.ofdm_frontend(jnp.asarray(x.reshape(2, -1)),
+                           "44m").reshape(1, 2, -1)
+    out = nrx.rx_pipeline(x20, 10, max_psdu=128)
+    assert np.asarray(out["ok"])[0], np.asarray(out["mcs"])
+    n = int(np.asarray(out["length"])[0])
+    assert bytes(np.asarray(out["psdu"])[0][:n]) == psdu

@@ -149,3 +149,82 @@ def test_sfd_rejects_garbage_prefix_alias(rng):
           ).astype(np.complex64) * 0.02
     out = jrx.rx_pipeline_auto(jnp.asarray(x), max_psdu=1024)
     assert int(np.asarray(out["ok"]).sum()) == B
+
+
+# =============================================================================
+# Short-preamble PLCP (Clause 18.2.5; preamble_type 1, PHY_11b.hpp:26)
+# =============================================================================
+
+
+@pytest.mark.parametrize("rate", [2, 5.5, 11])
+def test_jax_tx_short_preamble_matches_golden(rate, rng):
+    psdu = _frames(rng, 1, 32)[0]
+    arr = np.frombuffer(psdu, np.uint8)[None, :]
+    wj = np.asarray(jtx.modulate(jnp.asarray(arr), rate, len(psdu),
+                                 preamble="short"))[0]
+    wg = g.modulate(psdu, rate, preamble="short")
+    assert len(wj) == len(wg) == jtx.waveform_len(rate, len(psdu),
+                                                  preamble="short")
+    # short PLCP is 96 symbols (56+16 at 1 Mbps + 24 at 2 Mbps) vs 192
+    assert len(wg) < len(g.modulate(psdu, rate))
+    np.testing.assert_allclose(wj, wg, atol=2e-3)
+
+
+@pytest.mark.parametrize("rate", [2, 5.5, 11])
+def test_short_preamble_loopback(rate, rng):
+    psdu = _frames(rng, 1, 40)[0]
+    w = g.modulate(psdu, rate, preamble="short").astype(np.complex64)
+    x = np.zeros((1, len(w) + 400), np.complex64)
+    x[0, 60: 60 + len(w)] = w
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)
+          ).astype(np.complex64) * 0.02
+    out = jrx.rx_pipeline_auto(jnp.asarray(x), max_psdu=len(psdu))
+    assert np.asarray(out["ok"])[0], (np.asarray(out["plcp_ok"]),
+                                      np.asarray(out["signal"]))
+    assert np.asarray(out["preamble"])[0] == 1
+    assert float(np.asarray(out["rate_mbps"])[0]) == rate
+    n = int(np.asarray(out["length"])[0])
+    assert bytes(np.asarray(out["psdu"])[0][:n]) == psdu
+    # fixed-rate pipeline handles it too
+    out2 = jrx.rx_pipeline(jnp.asarray(x), rate, max_psdu=len(psdu))
+    assert np.asarray(out2["ok"])[0]
+
+
+def test_mixed_long_short_batch(rng):
+    """A batch mixing long- and short-preamble frames (and rates) decodes
+    in the ONE auto jit program, preamble flagged per frame."""
+    psdus = _frames(rng, 4, 36)
+    plen = len(psdus[0])
+    specs = [(2, "long"), (2, "short"), (11, "long"), (11, "short")]
+    waves = [g.modulate(p, r, preamble=pre).astype(np.complex64)
+             for p, (r, pre) in zip(psdus, specs)]
+    N = max(len(w) for w in waves) + 300
+    x = np.zeros((4, N), np.complex64)
+    for i, w in enumerate(waves):
+        x[i, 40 + 5 * i: 40 + 5 * i + len(w)] = w
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)
+          ).astype(np.complex64) * 0.02
+    out = jrx.rx_pipeline_auto(jnp.asarray(x), max_psdu=plen)
+    ok = np.asarray(out["ok"])
+    assert ok.all(), (ok, np.asarray(out["plcp_ok"]),
+                      np.asarray(out["preamble"]))
+    assert list(np.asarray(out["preamble"])) == [0, 1, 0, 1]
+    assert np.allclose(np.asarray(out["rate_mbps"]), [2, 2, 11, 11])
+    psdu = np.asarray(out["psdu"])
+    for i, p in enumerate(psdus):
+        assert bytes(psdu[i][:plen]) == p, i
+
+
+def test_short_preamble_demodulate(rng):
+    psdu = _frames(rng, 1, 48)[0]
+    w = g.modulate(psdu, 5.5, preamble="short").astype(np.complex64)
+    x = np.concatenate([np.zeros(80), w, np.zeros(80)]).astype(
+        np.complex64)
+    res = jrx.demodulate(x)
+    assert res.ok, res.reason
+    assert res.rate_mbps == 5.5 and res.psdu == psdu
+
+
+def test_short_preamble_rejects_1mbps():
+    with pytest.raises(ValueError):
+        g.modulate(b"\x00" * 20, 1, preamble="short")
