@@ -68,7 +68,8 @@ def frame_span_samples(phy: str, psdu_len: int, rate: float,
         from sora_tpu.phy import common as C
         nsym = -(-(16 + 8 * psdu_len + 6) // C.RATES[int(rate)].ndbps)
         n = 320 + 80 * (nsym + 1)    # preamble + SIGNAL + data symbols
-    return n * (2 if input_rate == "40m" else 1)
+    mult = {"20m": 1.0, "40m": 2.0, "44m": 2.2}[input_rate]
+    return int(np.ceil(n * mult))
 
 
 @dataclass
@@ -77,7 +78,7 @@ class NodeConfig:
     window: int = 0               # samples per decode window (0 = auto)
     batch: int = 8                # windows per device batch
     overlap: int = 0              # window overlap (0 = auto >= frame span)
-    input_rate: str = "20m"       # a/n: "20m"|"40m"; b: "11m"|"40m"|"44m"
+    input_rate: str = "20m"  # a/n: "20m"|"40m"|"44m"; b: "11m"|"40m"|"44m"
     max_psdu: int = 2500  # reference MTU (PHY_11a.hpp:571)
     rate_mbps: float | None = None  # None = auto dispatch (11a/11b)
     mcs: int | None = None        # 11n: None = mixed-MCS auto dispatch
@@ -96,6 +97,8 @@ class NodeConfig:
     ack_timeout_slots: int = 0    # 0 = auto from batch decode latency
     beacon_interval_s: float = 0.0  # 0 = no beacons (AP mode off)
     ssid: str = "sora-tpu"
+    agc: bool = True              # closed-loop software RX gain
+    agc_target: float = 1.0       # post-gain frame amplitude target
 
     def __post_init__(self):
         if self.phy not in ("a", "b", "n"):
@@ -262,6 +265,13 @@ class StreamingNode:
         self._jax = jax
         self._carry = [np.zeros(0, np.complex64) for _ in self.rings]
         self._abs_off = 0                   # stream position of carry[0]
+        # closed-loop RX gain (the software stand-in for the radio's
+        # LNA/RXVGA ladder the reference sets at boot + HwVeri's AGC,
+        # dot11main.cpp:121-146 / AGC.cpp): tracked from the detect
+        # pass's device-measured window power, applied at the int16
+        # quantizer (util.xfer.device_complex16 scale)
+        self._agc_gain = 1.0
+        self._agc_peak = 0.0                # tracked peak window power
         self._backlog_hwm = (self.cfg.backlog_hwm
                              or 8 * self.cfg.batch * self.cfg.window)
         # in-flight decodes: (out, metas, t0, nsamples, det)
@@ -326,6 +336,11 @@ class StreamingNode:
                     from sora_tpu.phy import frontend as fe
                     import jax.numpy as jnp
                     w = np.asarray(fe.upsample2(jnp.asarray(w[None]))[0])
+                elif cfg.input_rate == "44m":
+                    from sora_tpu.phy import frontend as fe
+                    import jax.numpy as jnp
+                    w = np.asarray(fe.ofdm_upsample_44m(
+                        jnp.asarray(w[None]))[0])
                 return w
         return modulate
 
@@ -397,9 +412,9 @@ class StreamingNode:
                     xb, r, max_psdu=m, input_rate=ir)
 
         def detect(xb, ir=cfg.input_rate):
-            if ir == "40m":
+            if ir != "20m":
                 from sora_tpu.phy import frontend as fe
-                xb = fe.ofdm_frontend_40m(xb)
+                xb = fe.ofdm_frontend(xb, ir)
             return arx.detect_only(xb)
 
         return decode, detect
@@ -456,10 +471,11 @@ class StreamingNode:
         cfg = self.cfg
 
         def front(xb):
-            if cfg.input_rate == "40m":
+            if cfg.input_rate != "20m":
                 from sora_tpu.phy import frontend as fe
                 B2, A, N = xb.shape
-                xf = fe.ofdm_frontend_40m(xb.reshape(B2 * A, N))
+                xf = fe.ofdm_frontend(xb.reshape(B2 * A, N),
+                                      cfg.input_rate)
                 return xf.reshape(B2, A, -1)
             return xb
 
@@ -761,10 +777,12 @@ class StreamingNode:
         t0 = time.perf_counter()
         from sora_tpu.util.xfer import device_complex16
 
-        xd = device_complex16(x)   # int16 I/Q wire: half the bytes
+        gain = self._agc_gain if self.cfg.agc else 1.0
+        xd = device_complex16(x, scale=gain)  # int16 wire: half the bytes
         self.stats.windows += self.cfg.batch
-        det_f, _power = self._detect(xd)     # async: futures
-        self._det_pend.append((xd, det_f, metas, t0, x.size))
+        det_f, power_f = self._detect(xd)    # async: futures
+        self._det_pend.append((xd, det_f, power_f, metas, t0, x.size,
+                               gain))
         while len(self._det_pend) > 1:
             self._gate(block=True)
         while len(self._pend) > 1:
@@ -783,9 +801,22 @@ class StreamingNode:
             f = self._det_pend[0][1]
             if not getattr(f, "is_ready", lambda: False)():
                 return
-        xd, det_f, metas, t0, nsamp = self._det_pend.pop(0)
+        xd, det_f, power_f, metas, t0, nsamp, gain = self._det_pend.pop(0)
         det = np.asarray(det_f)
-        if (det < self.cfg.detect_threshold).all():
+        fired = bool((det >= self.cfg.detect_threshold).any())
+        if self.cfg.agc and fired:
+            # peak window power in UNSCALED input units, tracked ONLY
+            # while a carrier is detected: attack is instant (the max),
+            # release halves the memory per carrier batch, and idle
+            # noise can never crank the gain up
+            p = float(np.max(np.asarray(power_f))) / (gain * gain)
+            self._agc_peak = (p if self._agc_peak <= 0.0
+                              else max(p, 0.5 * self._agc_peak))
+            if self._agc_peak > 1e-12:
+                self._agc_gain = float(np.clip(
+                    self.cfg.agc_target / np.sqrt(self._agc_peak),
+                    1.0 / 64.0, 256.0))
+        if not fired:
             self.stats.cs_timeout += len(metas)
             self.sw.add(nsamp, time.perf_counter() - t0)
             return
@@ -840,7 +871,7 @@ class StreamingNode:
         if cfg.phy == "b":     # chip (11 Msps) -> input rate
             return {"11m": 1.0, "40m": 40.0 / 11.0, "44m": 4.0}[
                 cfg.input_rate]
-        return 2.0 if cfg.input_rate == "40m" else 1.0
+        return {"20m": 1.0, "40m": 2.0, "44m": 2.2}[cfg.input_rate]
 
     def _dispatch(self, out: dict, metas: list, det: np.ndarray) -> None:
         cfg = self.cfg
@@ -946,4 +977,6 @@ class StreamingNode:
 
     def report(self) -> str:
         return (self.stats.status_page() + "\n"
+                + f"agc: gain {self._agc_gain:.4g} "
+                + f"(peak power {self._agc_peak:.3g})\n"
                 + "realtime: " + str(self.sw.report()))

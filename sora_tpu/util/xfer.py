@@ -61,15 +61,25 @@ def _combine_i16(h: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.complex(f[..., 0], f[..., 1])
 
 
-def device_complex16(x, sharding=None) -> jnp.ndarray:
+def device_complex16(x, sharding=None, scale: float = 1.0) -> jnp.ndarray:
     """Host complex array -> device complex64 over an int16 I/Q wire —
     the reference's COMPLEX16 RX DMA convention (_rx_manager.h:85-137),
     and HALF the boundary bytes of :func:`device_complex`.  Used by the
-    live node, where host->device bandwidth is the streaming budget."""
+    live node, where host->device bandwidth is the streaming budget.
+
+    ``scale`` is a gain applied at the quantizer — the software stand-in
+    for the radio's analog RX gain ahead of the ADC (the node's AGC
+    drives it); it folds into the existing multiply, costing nothing.
+    The device-side value keeps the scale (the AGC divides it back out
+    of its power measurements)."""
     x = np.asarray(x)
     h = np.empty(x.shape + (2,), np.int16)
-    np.multiply(x.real, I16_SCALE, out=h[..., 0], casting="unsafe")
-    np.multiply(x.imag, I16_SCALE, out=h[..., 1], casting="unsafe")
+    f = np.multiply(x.real, I16_SCALE * scale, dtype=np.float32)
+    np.clip(f, -32767.0, 32767.0, out=f)      # ADC saturates, never wraps
+    h[..., 0] = f
+    np.multiply(x.imag, I16_SCALE * scale, out=f, dtype=np.float32)
+    np.clip(f, -32767.0, 32767.0, out=f)
+    h[..., 1] = f
     hd = jax.device_put(h) if sharding is None else jax.device_put(
         h, sharding)
     return _combine_i16(hd)

@@ -476,3 +476,72 @@ def test_node_candidate_compaction_sparse(rng):
     assert node.stats.frame_ok == n, node.report()
     assert len(node.rx_payloads) == n
     ring.close()
+
+
+def test_node_44msps_interop_input(rng):
+    """Live node fed raw 44 Msps samples (the commercial-NIC interop
+    rate): the on-device 44->40->20 front end runs inside the decode and
+    detect programs (CreateDemodGraph11a_44M, fb11ademod_config.hpp:221)."""
+    import jax.numpy as jnp
+    from sora_tpu.phy import frontend as fe
+
+    ring = RxRing(capacity=1 << 22)
+    cfg = NodeConfig(max_psdu=256, min_rate_mbps=12, addr=ADDR,
+                     batch=2, rate_mbps=None, input_rate="44m")
+    node = StreamingNode(ring, cfg, tx_sink=TxSink())
+    x20, psdus = _traffic(5, rng, rate=12, gap=900)
+    x44 = np.array(fe.ofdm_upsample_44m(jnp.asarray(x20[None])))[0]
+    x44 = x44 + (rng.normal(size=len(x44)) + 1j *
+                 rng.normal(size=len(x44))).astype(np.complex64) * 0.01
+    ring.write(x44.astype(np.complex64))
+    _drain(ring, node)
+    assert node.stats.frame_ok == 5, node.report()
+    assert len(node.rx_payloads) == 5
+    assert node.stats.acks_tx == 5
+    # the pre-staged ACK waveforms went out at the ring's 44 Msps rate:
+    # ~2.2x the ~880-sample 20 Msps ACK span
+    assert node.tx.fired and 1700 < node.tx.fired[0][1] < 2300, \
+        node.tx.fired[0]
+    ring.close()
+
+
+@pytest.mark.parametrize("scale", [1e-2, 3.0])
+def test_node_agc_decodes_off_scale_input(rng, scale):
+    """Software AGC (VERDICT r03 item 9): the same traffic at 1e-2x and
+    3x input amplitude decodes without threshold retuning — the gain is
+    tracked from the detect pass's power and applied at the int16
+    quantizer, the stand-in for the radio RX gain the reference sets at
+    boot (dot11main.cpp:121-146 + HwVeri AGC.cpp)."""
+    ring = RxRing(capacity=1 << 22)
+    cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=256,
+                     addr=ADDR, rate_mbps=None)
+    assert cfg.agc
+    node = StreamingNode(ring, cfg, tx_sink=TxSink())
+    n = 8
+    x, psdus = _traffic(n, rng, rate=12)
+    ring.write((x * scale).astype(np.complex64))
+    _drain(ring, node)
+    assert node.stats.frame_ok == n, node.report()
+    assert len(node.rx_payloads) == n
+    # the loop actually adapted toward unit post-gain amplitude
+    if scale < 0.1:
+        assert node._agc_gain > 10.0, node.report()
+    else:
+        assert node._agc_gain < 0.7, node.report()
+    ring.close()
+
+
+def test_node_agc_idle_noise_never_cranks_gain(rng):
+    """Idle air (no carrier) must not raise the gain — release happens
+    only while a carrier is detected."""
+    ring = RxRing(capacity=1 << 22)
+    cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=256,
+                     addr=ADDR, rate_mbps=None)
+    node = StreamingNode(ring, cfg, tx_sink=TxSink())
+    for _ in range(10):
+        ring.write((rng.normal(size=8192) + 1j * rng.normal(size=8192)
+                    ).astype(np.complex64) * 0.01)
+        node.step()
+    node.flush()
+    assert node._agc_gain == 1.0, node.report()
+    ring.close()
