@@ -20,7 +20,7 @@ resharding, not a spin-lock ring.
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +55,15 @@ def synchronize_sharded(x: jnp.ndarray, mesh: Mesh):
 
     Returns (lts1, cfo) replicated over ``sp``.
     """
+    return _sync_sharded_jit(mesh)(x)
+
+
+@lru_cache(maxsize=None)
+def _sync_sharded_jit(mesh: Mesh):
+    """Build + jit the sharded sync for one mesh (cached: rebuilding the
+    shard_map per call would retrace every time, and an un-jitted
+    shard_map dispatches eagerly op by op — unsupported on the axon
+    runtime and slow everywhere)."""
     nsp = mesh.shape["sp"]
 
     def local(xl):
@@ -114,15 +123,14 @@ def synchronize_sharded(x: jnp.ndarray, mesh: Mesh):
         lts1 = jnp.take_along_axis(cand_li, bl[None], 0)[0]
         return lts1.astype(jnp.int32), cfo, det
 
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=P("dp", "sp"),
         out_specs=(P("dp"), P("dp"), P("dp")),
         # outputs are genuinely sp-replicated (they come from all_gather
         # over sp), but varying-axis inference can't see through argmax
         check_vma=False,
-    )
-    return fn(x)
+    ))
 
 
 def synchronize_sharded_11n(x: jnp.ndarray, mesh: Mesh):
@@ -132,8 +140,13 @@ def synchronize_sharded_11n(x: jnp.ndarray, mesh: Mesh):
     single-device phy.dot11n.rx.synchronize (TCCA11n, cca_11n.hpp:7).
 
     x: (B, 2, N) with B over ``dp``, antennas unsharded, N over ``sp``.
-    Returns (lts1, cfo) replicated over ``sp``.
+    Returns (lts1, cfo, det) replicated over ``sp``.
     """
+    return _sync_sharded_11n_jit(mesh)(x)
+
+
+@lru_cache(maxsize=None)
+def _sync_sharded_11n_jit(mesh: Mesh):
     from sora_tpu.phy.dot11n import rx as nrx
 
     nsp = mesh.shape["sp"]
@@ -191,36 +204,44 @@ def synchronize_sharded_11n(x: jnp.ndarray, mesh: Mesh):
         lts1 = jnp.take_along_axis(cand_li, bl[None], 0)[0]
         return lts1.astype(jnp.int32), cfo, det
 
-    fn = jax.shard_map(
+    return jax.jit(jax.shard_map(
         local, mesh=mesh,
         in_specs=P("dp", None, "sp"),
         out_specs=(P("dp"), P("dp"), P("dp")),
         check_vma=False,
-    )
-    return fn(x)
+    ))
 
 
 def rx_pipeline_sharded_11n(x: jnp.ndarray, mesh: Mesh, mcs: int,
                             max_psdu: int = 256, input_rate: str = "20m"):
     """Full sharded 2x2 HT RX: (dp, antenna-local, sp) detection, then
     MIMO decode resharded batch-parallel over every device — extends the
-    11a sharding to the 11n pipeline (fb11ndemod_config.hpp:142-206)."""
-    from sora_tpu.phy.dot11n import rx as nrx
-
+    11a sharding to the 11n pipeline (fb11ndemod_config.hpp:142-206).
+    ONE jit program: the detect->decode reshard is a sharding constraint
+    XLA lowers to an all-to-all, not a host-driven device_put (which
+    costs a full dispatch round trip per stage on a tunnel-attached
+    chip)."""
     xs = _shard_in(x, mesh, input_rate, P("dp", None, "sp"),
                    P("dp", None, "sp", None))
-    lts1, cfo, det = synchronize_sharded_11n(xs, mesh)
-    all_axes = P(("dp", "sp"), None, None)
-    xd = jax.device_put(xs, NamedSharding(mesh, all_axes))
-    lts1_d = jax.device_put(lts1, NamedSharding(mesh, P(("dp", "sp"))))
-    cfo_d = jax.device_put(cfo, NamedSharding(mesh, P(("dp", "sp"))))
-    det_d = jax.device_put(det, NamedSharding(mesh, P(("dp", "sp"))))
+    return _sharded_11n_fixed(mesh, mcs, max_psdu)(xs)
 
+
+@lru_cache(maxsize=None)
+def _sharded_11n_fixed(mesh: Mesh, mcs: int, max_psdu: int):
+    from sora_tpu.phy.dot11n import rx as nrx
+
+    sync = _sync_sharded_11n_jit(mesh)
+    all_axes = NamedSharding(mesh, P(("dp", "sp"), None, None))
+    bspec = NamedSharding(mesh, P(("dp", "sp")))
     nsym = nrx.max_symbols(mcs, max_psdu)
+    wsc = jax.lax.with_sharding_constraint
 
     @jax.jit
-    def decode(xb, l1, cf, dt):
-        sig_eq, xdet, snr_db = nrx.extract_symbols(xb, l1, cf, nsym)
+    def run(xb):
+        lts1, cfo, dt = sync(xb)
+        xd = wsc(xb, all_axes)
+        l1, cf, dt = (wsc(v, bspec) for v in (lts1, cfo, dt))
+        sig_eq, xdet, snr_db = nrx.extract_symbols(xd, l1, cf, nsym)
         lsig_ok = nrx.decode_lsig(sig_eq[:, 0])
         mcs_rx, length, htsig_ok = nrx.decode_htsig(sig_eq[:, 1:])
         length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
@@ -233,14 +254,17 @@ def rx_pipeline_sharded_11n(x: jnp.ndarray, mesh: Mesh, mcs: int,
                 "mcs": mcs_rx.astype(jnp.int32),
                 "length": length, "snr_db": snr_db}
 
-    return decode(xd, lts1_d, cfo_d, det_d)
+    return run
 
 
 def _shard_in(x, mesh: Mesh, input_rate: str, spec, host_spec):
     """Put a host/device stream batch onto the mesh, running the 40 Msps
     front end batch-parallel over all devices first when asked (the
     TDownSample2 -> TDCRemoveEx graph head, fb11ademod_config.hpp:148)."""
-    if isinstance(x, jax.Array) and x.committed:
+    if isinstance(x, jax.Array):
+        # already device-resident (committed or not): device_put below
+        # reshards it; routing it through device_complex would FETCH a
+        # complex array to the host, which the axon runtime cannot do
         xs = x
     else:
         # host arrays cross the boundary as float32 (re, im) pairs — the
@@ -273,19 +297,28 @@ def rx_pipeline_sharded(x: jnp.ndarray, mesh: Mesh, rate_mbps: int,
     """
     xs = _shard_in(x, mesh, input_rate, P("dp", "sp"),
                    P("dp", "sp", None))
-    lts1, cfo, _det = synchronize_sharded(xs, mesh)
-    # reshard: batch over all devices for the decode stage
-    all_axes = P(("dp", "sp"), None)
-    xd = jax.device_put(xs, NamedSharding(mesh, all_axes))
-    lts1_d = jax.device_put(lts1, NamedSharding(mesh, P(("dp", "sp"))))
-    cfo_d = jax.device_put(cfo, NamedSharding(mesh, P(("dp", "sp"))))
+    return _sharded_a_fixed(mesh, rate_mbps, max_psdu)(xs)
 
+
+@lru_cache(maxsize=None)
+def _sharded_a_fixed(mesh: Mesh, rate_mbps: int, max_psdu: int):
+    """One-jit fixed-rate sharded pipeline: the detect->decode reshard
+    is a sharding constraint (XLA inserts the all-to-all) instead of a
+    host-driven device_put per stage — on a tunnel-attached chip every
+    eager stage costs a full dispatch round trip."""
+    sync = _sync_sharded_jit(mesh)
+    all_axes = NamedSharding(mesh, P(("dp", "sp"), None))
+    bspec = NamedSharding(mesh, P(("dp", "sp")))
     rate = C.RATES[rate_mbps]
     nsym = arx.max_symbols(rate, max_psdu)
+    wsc = jax.lax.with_sharding_constraint
 
-    @partial(jax.jit, static_argnames=())
-    def decode(xb, l1, cf):
-        eq, snr_db = arx.extract_symbols(xb, l1, cf, nsym)
+    @jax.jit
+    def run(xb):
+        lts1, cfo, _det = sync(xb)
+        xd = wsc(xb, all_axes)
+        l1, cf = wsc(lts1, bspec), wsc(cfo, bspec)
+        eq, snr_db = arx.extract_symbols(xd, l1, cf, nsym)
         rate_bits, length, sig_ok = arx.decode_signal(eq[:, 0, :])
         length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
         psdu, fcs_ok, _ = arx.decode_data(eq[:, 1:, :], length, rate_mbps)
@@ -294,7 +327,7 @@ def rx_pipeline_sharded(x: jnp.ndarray, mesh: Mesh, rate_mbps: int,
                 "fcs_ok": fcs_ok.astype(jnp.uint8),
                 "length": length, "snr_db": snr_db}
 
-    return decode(xd, lts1_d, cfo_d)
+    return run
 
 
 def rx_pipeline_sharded_auto(x: jnp.ndarray, mesh: Mesh,
@@ -310,24 +343,29 @@ def rx_pipeline_sharded_auto(x: jnp.ndarray, mesh: Mesh,
     """
     xs = _shard_in(x, mesh, input_rate, P("dp", "sp"),
                    P("dp", "sp", None))
-    lts1, cfo, det = synchronize_sharded(xs, mesh)
-    all_axes = P(("dp", "sp"), None)
-    xd = jax.device_put(xs, NamedSharding(mesh, all_axes))
+    return _sharded_a_auto(mesh, max_psdu, int(xs.shape[-1]))(xs)
+
+
+@lru_cache(maxsize=None)
+def _sharded_a_auto(mesh: Mesh, max_psdu: int, n_samples: int):
+    sync = _sync_sharded_jit(mesh)
+    all_axes = NamedSharding(mesh, P(("dp", "sp"), None))
     bspec = NamedSharding(mesh, P(("dp", "sp")))
-    lts1_d = jax.device_put(lts1, bspec)
-    cfo_d = jax.device_put(cfo, bspec)
-    det_d = jax.device_put(det, bspec)
-    nsym_win = max(1, (int(xs.shape[-1]) - 208) // 80)
+    nsym_win = max(1, (n_samples - 208) // 80)
     nsym_max = arx._auto_tables(max_psdu, nsym_win)[3]
+    wsc = jax.lax.with_sharding_constraint
 
     @jax.jit
-    def decode(xb, l1, cf, dt):
-        eq, snr_db = arx.extract_symbols(xb, l1, cf, nsym_max)
+    def run(xb):
+        lts1, cfo, det = sync(xb)
+        xd = wsc(xb, all_axes)
+        l1, cf, dt = (wsc(v, bspec) for v in (lts1, cfo, det))
+        eq, snr_db = arx.extract_symbols(xd, l1, cf, nsym_max)
         out = arx.auto_tail(eq, dt, max_psdu, nsym_win)
         out["snr_db"] = snr_db
         return out
 
-    return decode(xd, lts1_d, cfo_d, det_d)
+    return run
 
 
 def rx_pipeline_sharded_11n_auto(x: jnp.ndarray, mesh: Mesh,
@@ -336,25 +374,30 @@ def rx_pipeline_sharded_11n_auto(x: jnp.ndarray, mesh: Mesh,
     """Sharded mixed-MCS 2x2 HT RX: antenna-local (dp, sp) detection,
     then the runtime MCS-dispatch ZF decode tail
     (phy.dot11n.rx.auto_tail) batch-parallel over every device."""
-    from sora_tpu.phy.dot11n import rx as nrx
-
     xs = _shard_in(x, mesh, input_rate, P("dp", None, "sp"),
                    P("dp", None, "sp", None))
-    lts1, cfo, det = synchronize_sharded_11n(xs, mesh)
-    all_axes = P(("dp", "sp"), None, None)
-    xd = jax.device_put(xs, NamedSharding(mesh, all_axes))
+    return _sharded_11n_auto(mesh, max_psdu, int(xs.shape[-1]))(xs)
+
+
+@lru_cache(maxsize=None)
+def _sharded_11n_auto(mesh: Mesh, max_psdu: int, n_samples: int):
+    from sora_tpu.phy.dot11n import rx as nrx
+
+    sync = _sync_sharded_11n_jit(mesh)
+    all_axes = NamedSharding(mesh, P(("dp", "sp"), None, None))
     bspec = NamedSharding(mesh, P(("dp", "sp")))
-    lts1_d = jax.device_put(lts1, bspec)
-    cfo_d = jax.device_put(cfo, bspec)
-    det_d = jax.device_put(det, bspec)
-    nsym_win = max(1, (int(xs.shape[-1]) - nrx._OFF_DATA) // 80)
+    nsym_win = max(1, (n_samples - nrx._OFF_DATA) // 80)
     nsym_max = nrx._auto_tables_n(max_psdu, nsym_win)[3]
+    wsc = jax.lax.with_sharding_constraint
 
     @jax.jit
-    def decode(xb, l1, cf, dt):
-        sig_eq, xdet, snr_db = nrx.extract_symbols(xb, l1, cf, nsym_max)
+    def run(xb):
+        lts1, cfo, det = sync(xb)
+        xd = wsc(xb, all_axes)
+        l1, cf, dt = (wsc(v, bspec) for v in (lts1, cfo, det))
+        sig_eq, xdet, snr_db = nrx.extract_symbols(xd, l1, cf, nsym_max)
         out = nrx.auto_tail(sig_eq, xdet, dt, max_psdu, nsym_win)
         out["snr_db"] = snr_db
         return out
 
-    return decode(xd, lts1_d, cfo_d, det_d)
+    return run

@@ -65,6 +65,61 @@ def bench_tpu_batch_curve() -> int:
     return 0
 
 
+def bench_tpu_sharded() -> int:
+    """Sharded-program cost on the REAL chip (VERDICT r03 item 6): run
+    the (dp, sp)-sharded pipelines on a (1, 1) mesh of the one real TPU
+    and compare against the unsharded pipelines at identical shapes —
+    an upper bound on the sharding tax with zero extra hardware (the
+    collectives degenerate to no-ops; what remains is program structure:
+    halo concats, reshards, the multi-dispatch orchestration)."""
+    from sora_tpu.util.platform import setup_jax
+    jax = setup_jax()
+    if jax.default_backend() != "tpu":
+        print(f"SKIP: backend {jax.default_backend()}")
+        return 2
+    from sora_tpu.parallel import shard as psh
+    from sora_tpu.phy.dot11a import rx as jrx
+    from sora_tpu.util.xfer import device_complex
+    import bench as topbench
+
+    rate, psdu_len, max_psdu = 54, 1500, 1504
+    B = 128
+    x, N, _ = topbench._saturated_batch(rate, B, psdu_len)
+    mesh = psh.make_mesh(1)
+    xd = device_complex(x)
+    print(f"sharded-program cost on the real chip, (1,1) mesh, "
+          f"B={B} x {N} @54 Mbps:", flush=True)
+
+    def timed(name, fn, reps=20):
+        t0 = time.perf_counter()
+        ok = np.asarray(fn()["ok"])
+        tc = time.perf_counter() - t0
+        assert ok.all(), (name, int(ok.sum()))
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            out = fn()
+        np.asarray(out["ok"])
+        dt = (time.perf_counter() - t0) / reps
+        print(f"  {name:22s} {dt*1e3:7.2f} ms/batch "
+              f"({B*N/dt/1e6:6.1f} Msamples/s, compile+first {tc:.0f}s)",
+              flush=True)
+        return dt
+
+    t_plain = timed("rx_pipeline",
+                    lambda: jrx.rx_pipeline(xd, rate, max_psdu=max_psdu))
+    t_shard = timed("rx_pipeline_sharded",
+                    lambda: psh.rx_pipeline_sharded(xd, mesh, rate,
+                                                    max_psdu=max_psdu))
+    t_auto = timed("rx_pipeline_auto",
+                   lambda: jrx.rx_pipeline_auto(xd, max_psdu=max_psdu))
+    t_sauto = timed("rx_pipeline_sharded_auto",
+                    lambda: psh.rx_pipeline_sharded_auto(
+                        xd, mesh, max_psdu=max_psdu))
+    print(f"  sharding tax: fixed-rate {t_shard/t_plain:4.2f}x, "
+          f"auto {t_sauto/t_auto:4.2f}x", flush=True)
+    return 0
+
+
 def bench_cpu_mesh() -> int:
     from sora_tpu.util.platform import setup_jax
     jax = setup_jax()
@@ -102,11 +157,14 @@ def bench_cpu_mesh() -> int:
 def main(argv=None) -> int:
     p = argparse.ArgumentParser()
     p.add_argument("--tpu", action="store_true")
+    p.add_argument("--tpu-sharded", action="store_true")
     p.add_argument("--cpu-mesh", action="store_true")
     args = p.parse_args(argv)
     rc = 0
     if args.tpu:
         rc = bench_tpu_batch_curve() or rc
+    if args.tpu_sharded:
+        rc = bench_tpu_sharded() or rc
     if args.cpu_mesh:
         rc = bench_cpu_mesh() or rc
     return rc
