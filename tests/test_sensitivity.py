@@ -39,3 +39,70 @@ def test_sensitivity_thresholds(rate, snr_ok, snr_fail, rng):
     assert ok == n, f"{rate} Mbps at {snr_ok} dB: {ok}/{n}"
     ok, n = _run(rate, snr_fail, rng)
     assert ok == 0, f"{rate} Mbps at {snr_fail} dB should fail: {ok}/{n}"
+
+
+def _run_b(rate, preamble, snr_db, rng, n=6):
+    import jax.numpy as jnp
+    from sora_tpu.golden import dot11b_np as gb
+    from sora_tpu.phy.dot11b import rx as brx
+
+    psdus = [fr.build_data_frame(bytes(rng.integers(0, 256, 40,
+                                                    dtype=np.uint8)),
+                                 seq=i) for i in range(n)]
+    waves = [gb.modulate(p, rate, preamble=preamble).astype(np.complex64)
+             for p in psdus]
+    N = max(len(w) for w in waves) + 400
+    x = np.zeros((n, N), np.complex64)
+    for i, w in enumerate(waves):
+        x[i, 50: 50 + len(w)] = w
+    sig_p = float(np.mean([np.mean(np.abs(w) ** 2) for w in waves]))
+    sigma = np.sqrt(sig_p / (2.0 * 10 ** (snr_db / 10.0)))
+    x += sigma * (rng.normal(size=x.shape)
+                  + 1j * rng.normal(size=x.shape)).astype(np.complex64)
+    out = brx.rx_pipeline_auto(jnp.asarray(x), max_psdu=len(psdus[0]))
+    return int(np.asarray(out["ok"]).sum()), n
+
+
+@pytest.mark.parametrize("rate,preamble,snr_ok,snr_fail", [
+    (1, "long", 4.0, -14.0),     # Barker DBPSK: most robust mode
+    (11, "long", 12.0, -4.0),    # CCK-11: ~8 dB operating point
+    (11, "short", 12.0, -4.0),   # short preamble tracks its sibling
+])
+def test_sensitivity_thresholds_11b(rate, preamble, snr_ok, snr_fail,
+                                    rng):
+    ok, n = _run_b(rate, preamble, snr_ok, rng)
+    assert ok == n, f"11b {rate}/{preamble} at {snr_ok} dB: {ok}/{n}"
+    ok, n = _run_b(rate, preamble, snr_fail, rng)
+    assert ok == 0, f"11b {rate}/{preamble} at {snr_fail} dB: {ok}/{n}"
+
+
+def _run_n(mcs, snr_db, rng, n=6):
+    import jax.numpy as jnp
+    from sora_tpu.golden import dot11n_np as gn
+    from sora_tpu.phy.dot11n import rx as nrx
+
+    psdus = [fr.build_data_frame(bytes(rng.integers(0, 256, 40,
+                                                    dtype=np.uint8)),
+                                 seq=i) for i in range(n)]
+    waves = [np.asarray(gn.modulate(p, mcs)) for p in psdus]
+    N = max(w.shape[1] for w in waves) + 300
+    x = np.zeros((n, 2, N), np.complex64)
+    for i, w in enumerate(waves):
+        x[i, :, 40: 40 + w.shape[1]] = w
+    sig_p = float(np.mean([np.mean(np.abs(w) ** 2) for w in waves]))
+    sigma = np.sqrt(sig_p / (2.0 * 10 ** (snr_db / 10.0)))
+    x += sigma * (rng.normal(size=x.shape)
+                  + 1j * rng.normal(size=x.shape)).astype(np.complex64)
+    out = nrx.rx_pipeline(jnp.asarray(x), mcs, max_psdu=128)
+    return int(np.asarray(out["ok"]).sum()), n
+
+
+@pytest.mark.parametrize("mcs,snr_ok,snr_fail", [
+    (8, 10.0, -8.0),      # BPSK 1/2 x2 streams
+    (15, 32.0, 10.0),     # 64-QAM 3/4 x2: ~27 dB operating point
+])
+def test_sensitivity_thresholds_11n(mcs, snr_ok, snr_fail, rng):
+    ok, n = _run_n(mcs, snr_ok, rng)
+    assert ok == n, f"MCS {mcs} at {snr_ok} dB: {ok}/{n}"
+    ok, n = _run_n(mcs, snr_fail, rng)
+    assert ok == 0, f"MCS {mcs} at {snr_fail} dB: {ok}/{n}"

@@ -1,0 +1,185 @@
+"""Sensitivity waterfall: FER/BER vs SNR for every PHY, emitted as
+SENSITIVITY.md.
+
+The reference's test strategy is loopback sweeps across the operating
+region (SURVEY §4.2: mod -> impairment -> demod BER/CRC); this tool is
+that sweep as a checked-in artifact: for each 11a rate, each 11b rate
+(long + short preamble at 2/5.5/11), and a spread of 11n MCS, modulate a
+batch of frames, add calibrated AWGN, decode with the JAX chains, and
+tabulate frame-error rate and payload BER per SNR point.
+
+Run (CPU is fine; coarse grid by default):
+
+    JAX_PLATFORMS=cpu python tools/sensitivity_sweep.py > SENSITIVITY.md
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def _log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _ber(psdus, out, n_frames):
+    errs = bits = 0
+    got = np.asarray(out["psdu"])
+    for i, p in enumerate(psdus):
+        ref = np.frombuffer(p, np.uint8)
+        dec = got[i][: len(ref)]
+        errs += int(np.unpackbits(dec ^ ref).sum())
+        bits += 8 * len(ref)
+    return errs / max(1, bits)
+
+
+def _frames(rng, n, payload, seq0=0):
+    from sora_tpu.mac import frame as fr
+
+    return [fr.build_data_frame(bytes(rng.integers(0, 256, payload,
+                                                   dtype=np.uint8)),
+                                seq=seq0 + i) for i in range(n)]
+
+
+def _noisy(x, sig_p, snr_db, rng):
+    sigma = np.sqrt(sig_p / (2.0 * 10 ** (snr_db / 10.0)))
+    return (x + sigma * (rng.normal(size=x.shape)
+                         + 1j * rng.normal(size=x.shape))
+            ).astype(np.complex64)
+
+
+def sweep_11a(snrs, n=16, payload=72, seed=11):
+    import jax.numpy as jnp
+    from sora_tpu.golden import dot11a_np as g
+    from sora_tpu.phy.dot11a import rx as jrx
+
+    rows = {}
+    for rate in sorted(jrx.C.RATES):
+        rng = np.random.default_rng(seed + rate)
+        psdus = _frames(rng, n, payload)
+        waves = [g.modulate(p, rate).astype(np.complex64) for p in psdus]
+        N = max(len(w) for w in waves) + 300
+        x = np.zeros((n, N), np.complex64)
+        for i, w in enumerate(waves):
+            x[i, 40: 40 + len(w)] = w
+        sig_p = float(np.mean([np.mean(np.abs(w) ** 2) for w in waves]))
+        pts = []
+        for snr in snrs:
+            out = jrx.rx_pipeline(jnp.asarray(_noisy(x, sig_p, snr, rng)),
+                                  rate, max_psdu=128)
+            fer = 1.0 - float(np.asarray(out["ok"]).sum()) / n
+            pts.append((snr, fer, _ber(psdus, out, n)))
+        rows[f"{rate} Mbps"] = pts
+        _log(f"11a {rate:>4} Mbps done")
+    return rows
+
+
+def sweep_11b(snrs, n=12, payload=48, seed=23):
+    import jax.numpy as jnp
+    from sora_tpu.golden import dot11b_np as g
+    from sora_tpu.phy.dot11b import rx as jrx
+
+    specs = [(1, "long"), (2, "long"), (5.5, "long"), (11, "long"),
+             (2, "short"), (5.5, "short"), (11, "short")]
+    rows = {}
+    for rate, pre in specs:
+        rng = np.random.default_rng(seed + int(2 * rate)
+                                    + (100 if pre == "short" else 0))
+        psdus = _frames(rng, n, payload)
+        waves = [g.modulate(p, rate, preamble=pre).astype(np.complex64)
+                 for p in psdus]
+        N = max(len(w) for w in waves) + 400
+        x = np.zeros((n, N), np.complex64)
+        for i, w in enumerate(waves):
+            x[i, 50: 50 + len(w)] = w
+        sig_p = float(np.mean([np.mean(np.abs(w) ** 2) for w in waves]))
+        pts = []
+        for snr in snrs:
+            out = jrx.rx_pipeline_auto(
+                jnp.asarray(_noisy(x, sig_p, snr, rng)),
+                max_psdu=len(psdus[0]))
+            fer = 1.0 - float(np.asarray(out["ok"]).sum()) / n
+            pts.append((snr, fer, _ber(psdus, out, n)))
+        rows[f"{rate} Mbps {pre}"] = pts
+        _log(f"11b {rate} {pre} done")
+    return rows
+
+
+def sweep_11n(snrs, mcs_list=(8, 11, 15), n=10, payload=72, seed=31):
+    import jax.numpy as jnp
+    from sora_tpu.golden import dot11n_np as gn
+    from sora_tpu.phy.dot11n import rx as jrx
+
+    rows = {}
+    for mcs in mcs_list:
+        rng = np.random.default_rng(seed + mcs)
+        psdus = _frames(rng, n, payload)
+        waves = [np.asarray(gn.modulate(p, mcs)) for p in psdus]
+        N = max(w.shape[1] for w in waves) + 300
+        x = np.zeros((n, 2, N), np.complex64)
+        for i, w in enumerate(waves):
+            x[i, :, 40: 40 + w.shape[1]] = w
+        sig_p = float(np.mean([np.mean(np.abs(w) ** 2) for w in waves]))
+        pts = []
+        for snr in snrs:
+            out = jrx.rx_pipeline(jnp.asarray(_noisy(x, sig_p, snr, rng)),
+                                  mcs, max_psdu=128)
+            fer = 1.0 - float(np.asarray(out["ok"]).sum()) / n
+            pts.append((snr, fer, _ber(psdus, out, n)))
+        rows[f"MCS {mcs}"] = pts
+        _log(f"11n MCS {mcs} done")
+    return rows
+
+
+def _table(title, rows, snrs):
+    out = [f"\n## {title}\n"]
+    out.append("| mode | " + " | ".join(f"{s:g} dB" for s in snrs) + " |")
+    out.append("|---|" + "---|" * len(snrs))
+    for name, pts in rows.items():
+        cells = []
+        for snr, fer, ber in pts:
+            if fer == 0.0:
+                cells.append("ok" if ber == 0 else f"ber {ber:.0e}")
+            elif fer == 1.0:
+                cells.append("fail")
+            else:
+                cells.append(f"fer {fer:.2f}")
+        out.append(f"| {name} | " + " | ".join(cells) + " |")
+    return "\n".join(out)
+
+
+def main():
+    from sora_tpu.util.platform import setup_jax
+    setup_jax()
+
+    snrs_a = [0, 3, 6, 9, 12, 15, 18, 21, 24, 27, 30]
+    snrs_b = [-2, 0, 2, 4, 6, 8, 10, 12]
+    snrs_n = [6, 9, 12, 15, 18, 21, 24, 27, 30, 33]
+    print("# Sensitivity waterfall (loopback, AWGN)\n")
+    print("Generated by `tools/sensitivity_sweep.py` — FER/BER vs SNR for")
+    print("the JAX RX chains; `ok` = every frame FCS-clean at that point,")
+    print("`ber` = residual payload bit errors, `fail` = no frame")
+    print("survived.  Reference test model: the mod->AWGN->demod loopback")
+    print("sweeps of SURVEY §4.2.")
+    a = sweep_11a(snrs_a)
+    print(_table("802.11a (20 Msps OFDM)", a, snrs_a))
+    b = sweep_11b(snrs_b)
+    print(_table("802.11b (11 Msps DSSS/CCK, long + short preamble)",
+                 b, snrs_b))
+    nn = sweep_11n(snrs_n)
+    print(_table("802.11n (2x2 MIMO, ZF)", nn, snrs_n))
+    print("\nExpected structure: waterfall position ordered by modulation")
+    print("order and code rate within each PHY; the short-preamble rows")
+    print("match their long-preamble siblings (the data section is")
+    print("identical, only the PLCP differs).")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
