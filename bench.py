@@ -176,6 +176,25 @@ def main():
     log(f"  auto (mixed-rate) path: {B*Na/adt/1e6:.1f} Msamples/s, "
         f"ok={int(aok.sum())}/{B}")
 
+    # TX modulator throughput (the mod-graph half; the reference's TX is
+    # software too).  Sync handle is a strided real slice — complex
+    # can't cross the axon boundary.
+    from sora_tpu.phy.dot11a import tx as jtx
+    arr = np.repeat(np.frombuffer(psdu, np.uint8)[None, :], B, axis=0)
+    ad = jax.device_put(arr)
+    wlen = int(jtx.modulate(ad, rate, arr.shape[1]).shape[1])
+    txf = lambda: jnp.real(jtx.modulate(ad, rate, arr.shape[1])[:, ::997])
+    np.asarray(txf())
+    t0 = time.perf_counter()
+    for _ in range(30):
+        o = txf()
+    np.asarray(o)
+    tdt = (time.perf_counter() - t0) / 30
+    tx_msps = B * wlen / tdt / 1e6
+    log(f"  11a 54 Mbps TX modulate: {tx_msps:.1f} Msamples/s "
+        f"({tx_msps/20.0:.1f}x realtime), {B*psdu_len*8/tdt/1e6:.0f} "
+        f"Mbps encoded")
+
     b_msps = _bench_11b(device_complex, log)
     n_msps = _bench_11n(device_complex, log)
     (node_fps, node_ratio, node_dev_ratio, sparse_ratio,
@@ -195,6 +214,7 @@ def main():
         "node_device_ratio": round(node_dev_ratio, 3),
         "node_sparse_device_ratio": round(sparse_ratio, 3),
         "node_compaction_speedup": round(compact_x, 2),
+        "tx_msps": round(tx_msps, 1),
         "compile_first_s": round(compile_s, 1),
     }))
 
@@ -266,7 +286,7 @@ def _bench_node(log):
     # local PCIe-attached TPU the same config simply runs deeper ahead.
     cfg = NodeConfig(max_psdu=256, min_rate_mbps=24, window=32768,
                      batch=64, max_frames_per_window=11, addr=addr,
-                     rate_mbps=None)
+                     rate_mbps=None, wire="i8")
     ring = RxRing(capacity=1 << 25)
     node = StreamingNode(ring, cfg, tx_sink=TxSink())
     t0 = time.perf_counter()
@@ -294,7 +314,7 @@ def _bench_node(log):
     # ratio too: amortized decode+detect time per batch over its air
     # time — the architecture's number, transfer excluded.
     import jax
-    from sora_tpu.util.xfer import device_complex16
+    from sora_tpu.util.xfer import device_complex8, device_complex16
     hop = cfg.window - cfg.overlap
     nsamp = cfg.window + hop * (cfg.batch - 1)
     xb = np.asarray(src[:cfg.window])
@@ -304,6 +324,10 @@ def _bench_node(log):
     xd = device_complex16(xw)
     np.asarray(jax.block_until_ready(xd).dtype == np.complex64)
     xfer_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    xd8 = device_complex8(xw)
+    np.asarray(jax.block_until_ready(xd8).dtype == np.complex64)
+    xfer8_s = time.perf_counter() - t0
     out = node._decode(xd)
     np.asarray(out["ok"])
     t0 = time.perf_counter()
@@ -316,8 +340,9 @@ def _bench_node(log):
     dev_ratio = ddt / air
     log(f"  node device-only: {ddt*1e3:.1f} ms decode+detect per "
         f"{air*1e3:.0f} ms of air -> ratio {dev_ratio:.3f}; one-batch "
-        f"int16 transfer {xfer_s*1e3:.0f} ms "
-        f"({xw.nbytes/2/xfer_s/1e6:.0f} MB/s wire)")
+        f"transfer i16 {xfer_s*1e3:.0f} ms "
+        f"({xw.nbytes/2/xfer_s/1e6:.0f} MB/s wire), "
+        f"i8 {xfer8_s*1e3:.0f} ms (node runs the i8 wire)")
 
     # sparse-air candidate compaction (VERDICT r03 item 2): the decode
     # tail is shape-static, so without compaction idle air pays the full

@@ -99,10 +99,16 @@ class NodeConfig:
     ssid: str = "sora-tpu"
     agc: bool = True              # closed-loop software RX gain
     agc_target: float = 1.0       # post-gain frame amplitude target
+    wire: str = "i16"             # host->device sample wire: "i16" (the
+    # COMPLEX16 DMA convention) | "i8" (half the bytes again; the AGC
+    # holds the signal at the 8-bit quantizer's design amplitude —
+    # for bandwidth-starved links like the axon tunnel)
 
     def __post_init__(self):
         if self.phy not in ("a", "b", "n"):
             raise ValueError(f"phy must be a|b|n, got {self.phy!r}")
+        if self.wire not in ("i16", "i8"):
+            raise ValueError(f"wire must be i16|i8, got {self.wire!r}")
         if self.ack_rate is None:
             self.ack_rate = 2 if self.phy == "b" else 6
         if self.detect_threshold is None:
@@ -775,10 +781,12 @@ class StreamingNode:
             return False
         x, metas = nw
         t0 = time.perf_counter()
-        from sora_tpu.util.xfer import device_complex16
+        from sora_tpu.util.xfer import device_complex8, device_complex16
 
         gain = self._agc_gain if self.cfg.agc else 1.0
-        xd = device_complex16(x, scale=gain)  # int16 wire: half the bytes
+        to_dev = (device_complex8 if self.cfg.wire == "i8"
+                  else device_complex16)
+        xd = to_dev(x, scale=gain)
         self.stats.windows += self.cfg.batch
         det_f, power_f = self._detect(xd)    # async: futures
         self._det_pend.append((xd, det_f, power_f, metas, t0, x.size,

@@ -83,3 +83,36 @@ def device_complex16(x, sharding=None, scale: float = 1.0) -> jnp.ndarray:
     hd = jax.device_put(h) if sharding is None else jax.device_put(
         h, sharding)
     return _combine_i16(hd)
+
+
+# 6-bit-headroom scaling for the int8 wire: at the node's AGC amplitude
+# target (~1.0 rms) OFDM peaks (~10 dB PAPR) stay inside +-127 while the
+# quantization floor sits ~35 dB under the signal — above every rate's
+# operating SNR.  Real front ends ship 8-bit ADCs at exactly this
+# trade-off; the AGC is what makes the fixed scale safe.
+I8_SCALE = 32.0
+
+
+@jax.jit
+def _combine_i8(h: jnp.ndarray) -> jnp.ndarray:
+    f = h.astype(jnp.float32) * jnp.float32(1.0 / I8_SCALE)
+    return jax.lax.complex(f[..., 0], f[..., 1])
+
+
+def device_complex8(x, sharding=None, scale: float = 1.0) -> jnp.ndarray:
+    """Host complex array -> device complex64 over an int8 I/Q wire —
+    QUARTER the boundary bytes of :func:`device_complex`.  For the live
+    node on bandwidth-starved links (the axon tunnel moves ~45 MB/s; a
+    20 Msps int16 feed needs 80), with the AGC keeping the signal at the
+    quantizer's design amplitude."""
+    x = np.asarray(x)
+    h = np.empty(x.shape + (2,), np.int8)
+    f = np.multiply(x.real, I8_SCALE * scale, dtype=np.float32)
+    np.clip(f, -127.0, 127.0, out=f)          # ADC saturates, never wraps
+    h[..., 0] = f
+    np.multiply(x.imag, I8_SCALE * scale, out=f, dtype=np.float32)
+    np.clip(f, -127.0, 127.0, out=f)
+    h[..., 1] = f
+    hd = jax.device_put(h) if sharding is None else jax.device_put(
+        h, sharding)
+    return _combine_i8(hd)

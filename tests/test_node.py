@@ -545,3 +545,28 @@ def test_node_agc_idle_noise_never_cranks_gain(rng):
     node.flush()
     assert node._agc_gain == 1.0, node.report()
     ring.close()
+
+
+def test_node_i8_wire_decodes(rng):
+    """int8 I/Q wire (quarter the boundary bytes): with the AGC holding
+    the signal at the 8-bit quantizer's design amplitude, the same
+    traffic decodes — including off-scale input the AGC first adapts."""
+    ring = RxRing(capacity=1 << 22)
+    cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=256,
+                     addr=ADDR, rate_mbps=None, wire="i8")
+    node = StreamingNode(ring, cfg, tx_sink=TxSink())
+    n = 8
+    x, psdus = _traffic(n, rng, rate=12)
+    ring.write((x * 0.05).astype(np.complex64))   # -26 dBFS input
+    _drain(ring, node)
+    # the first frame may land before the AGC settles (it spans ~1.6
+    # int8 levels at gain 1) — that's the physical attack time of any
+    # AGC, not a decode defect
+    assert node.stats.frame_ok >= n - 1, node.report()
+    assert node._agc_gain > 5.0
+    ring.close()
+
+
+def test_node_config_rejects_bad_wire():
+    with pytest.raises(ValueError):
+        NodeConfig(wire="i12")
