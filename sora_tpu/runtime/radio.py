@@ -1,0 +1,168 @@
+"""Radio manager: the SoraURadio* command surface over a software front
+end.
+
+The reference's radio manager programs a real RCB/RF board —
+`SoraURadioStart / SetRxPA / SetRxGain / SetTxGain / SetCentralFreq /
+SetFreqOffset / SetSampleRate / Write|ReadRadioRegister`
+(kernel/core/inc/_user_mode_ext.h:100-140, state in _radio_manager.h:
+``__uRxGain``/``__uTxGain``).  No RF hardware exists on this harness, so
+the same command set drives a **software front end**: the radio models
+what the analog chain does to whatever is "on the air" — gain scales the
+capture, a central-frequency mismatch appears as the corresponding
+carrier offset at complex baseband, a sample-rate setting resamples the
+capture to the configured ADC rate — and the result streams into the
+node's RX ring exactly as a hardware capture would.  Settings apply
+LIVE: a running paced replay picks them up on its next chunk.
+
+That keeps every consumer honest: the node, HwVeri, and the apps observe
+a gain/freq/rate-controllable radio with the reference's API shape, and
+tests can drive the knobs end to end (e.g. hwveri.measure_freq_offset
+recovers a SetCentralFreq mismatch).
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+
+import numpy as np
+
+
+@dataclass
+class RadioState:
+    """The RADIO_CONTEXT register image (_radio_manager.h:109-111)."""
+    central_freq_hz: float = 2.422e9      # SetCentralFreq (kHz in ref)
+    freq_offset_hz: float = 0.0           # SetFreqOffset
+    rx_gain_db: float = 0.0               # SetRxGain (ladder in ref)
+    rx_pa_db: float = 0.0                 # SetRxPA
+    tx_gain_db: float = 0.0               # SetTxGain
+    sample_rate_sps: float = 20e6         # SetSampleRate (MHz in ref)
+    running: bool = False                 # SoraURadioStart
+    registers: dict = field(default_factory=dict)
+
+
+class SoftRadio:
+    """One radio front end bound to an RX ring.
+
+    The "air" is a complex baseband record (array) carried at
+    ``air_freq_hz`` / ``air_rate_sps``; ``start_rx`` streams the capture
+    this radio would take of it — gain-scaled, frequency-shifted by the
+    tuning mismatch, resampled to the configured ADC rate — into the
+    ring (paced or bulk).  ``tx`` applies the TX gain and hands the
+    waveform to a sink (e.g. a peer radio's air) — the
+    SoraURadioTransfer + SoraURadioTx pair.
+    """
+
+    def __init__(self, ring=None, name: str = "radio0"):
+        self.name = name
+        self.ring = ring
+        self.state = RadioState()
+        self._air: np.ndarray | None = None
+        self._air_freq = 2.422e9
+        self._air_rate = 20e6
+        self._tx_sink = None
+        self._lock = threading.Lock()
+
+    # -- command surface (_user_mode_ext.h:70-140) ---------------------------
+
+    def start(self) -> None:                     # SoraURadioStart
+        self.state.running = True
+
+    def stop(self) -> None:
+        self.state.running = False
+        if self.ring is not None:
+            self.ring.stop()
+
+    def set_rx_gain(self, db: float) -> None:    # SoraURadioSetRxGain
+        with self._lock:
+            self.state.rx_gain_db = float(db)
+
+    def set_rx_pa(self, db: float) -> None:      # SoraURadioSetRxPA
+        with self._lock:
+            self.state.rx_pa_db = float(db)
+
+    def set_tx_gain(self, db: float) -> None:    # SoraURadioSetTxGain
+        with self._lock:
+            self.state.tx_gain_db = float(db)
+
+    def set_central_freq(self, hz: float) -> None:
+        with self._lock:                         # SoraURadioSetCentralFreq
+            self.state.central_freq_hz = float(hz)
+
+    def set_freq_offset(self, hz: float) -> None:
+        with self._lock:                         # SoraURadioSetFreqOffset
+            self.state.freq_offset_hz = float(hz)
+
+    def set_sample_rate(self, sps: float) -> None:
+        with self._lock:                         # SoraURadioSetSampleRate
+            self.state.sample_rate_sps = float(sps)
+
+    def write_register(self, addr: int, value: int) -> None:
+        self.state.registers[int(addr)] = int(value)
+
+    def read_register(self, addr: int) -> int:
+        return self.state.registers.get(int(addr), 0)
+
+    # -- the software front end ----------------------------------------------
+
+    def attach_air(self, samples: np.ndarray, freq_hz: float = 2.422e9,
+                   rate_sps: float = 20e6) -> None:
+        """Install what is on the air: a complex baseband record centred
+        at ``freq_hz``, sampled at ``rate_sps``."""
+        self._air = np.asarray(samples, np.complex64)
+        self._air_freq = float(freq_hz)
+        self._air_rate = float(rate_sps)
+
+    def attach_tx_sink(self, sink) -> None:
+        """Where transmissions go: any callable(wave) — typically the
+        peer radio's ring/air (the software ether)."""
+        self._tx_sink = sink
+
+    def capture(self, samples: np.ndarray | None = None) -> np.ndarray:
+        """The capture this radio takes of the air under its current
+        settings: analog gain (RxPA + RxGain), tuning-mismatch carrier
+        rotation, ADC-rate resampling."""
+        with self._lock:
+            st = RadioState(**{k: v for k, v in vars(self.state).items()})
+        x = np.asarray(self._air if samples is None else samples,
+                       np.complex64)
+        gain = 10.0 ** ((st.rx_gain_db + st.rx_pa_db) / 20.0)
+        # tuning mismatch: an air carrier at f_air seen by a radio tuned
+        # to f_c (+ fine offset) lands at baseband offset f_air - f_c
+        df = self._air_freq - (st.central_freq_hz + st.freq_offset_hz)
+        if df != 0.0:
+            n = np.arange(len(x), dtype=np.float64)
+            x = x * np.exp(2j * np.pi * df / self._air_rate * n)
+        if st.sample_rate_sps != self._air_rate:
+            from fractions import Fraction
+            import jax.numpy as jnp
+            from sora_tpu.phy import frontend as fe
+            fr = Fraction(int(round(st.sample_rate_sps)),
+                          int(round(self._air_rate))).limit_denominator(64)
+            x = np.asarray(fe.resample(jnp.asarray(x[None]),
+                                       fr.numerator, fr.denominator))[0]
+        return (gain * x).astype(np.complex64)
+
+    def start_rx(self, paced: bool = False, loop: bool = False) -> None:
+        """Stream the capture into the RX ring — the RX DMA.  Paced mode
+        replays at the configured ADC rate on the ring's native producer
+        thread; bulk mode writes it all at once (offline decode)."""
+        assert self.ring is not None, "no RX ring attached"
+        if not self.state.running:
+            self.start()
+        cap = self.capture()
+        if paced:
+            self.ring.start_replay(cap,
+                                   rate_sps=self.state.sample_rate_sps,
+                                   loop=loop)
+        else:
+            self.ring.write(cap)
+
+    def tx(self, wave: np.ndarray) -> np.ndarray:
+        """SoraURadioTransfer + SoraURadioTx: apply TX gain, hand the
+        waveform to the sink (if any), return what went to air."""
+        g = 10.0 ** (self.state.tx_gain_db / 20.0)
+        out = (g * np.asarray(wave, np.complex64)).astype(np.complex64)
+        if self._tx_sink is not None:
+            self._tx_sink(out)
+        return out
