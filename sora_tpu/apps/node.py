@@ -153,6 +153,17 @@ def main(argv=None) -> int:
     p.add_argument("--config", default=None,
                    help="NodeConfig JSON file (layered under env "
                         "SORA_* and explicit flags; util/config.py)")
+    p.add_argument("--rx-gain", type=float, default=None, metavar="DB",
+                   help="radio RX gain in dB (SoraURadioSetRxGain over "
+                        "the software front end, runtime/radio.py)")
+    p.add_argument("--freq-offset", type=float, default=0.0, metavar="HZ",
+                   help="radio fine frequency offset "
+                        "(SoraURadioSetFreqOffset)")
+    p.add_argument("--tune-error", type=float, default=0.0, metavar="HZ",
+                   help="simulated central-frequency mismatch vs the "
+                        "air (SetCentralFreq delta)")
+    p.add_argument("--wire", default="i16", choices=("i16", "i8"),
+                   help="host->device sample wire format")
     args = p.parse_args(argv)
 
     from sora_tpu.util.platform import setup_jax
@@ -196,9 +207,25 @@ def main(argv=None) -> int:
     cfg = load_config(NodeConfig, path=args.config, overrides=dict(
         phy=args.phy, window=args.window, batch=batch, overlap=0,
         input_rate=input_rate, max_psdu=max_psdu, addr=addr,
-        min_rate_mbps=min_rate,
+        min_rate_mbps=min_rate, wire=args.wire,
         mcs=(None if args.mixed or args.phy != "n" else int(rate)),
         sample_rate_sps=rate_sps or default_sps))
+    if (args.rx_gain is not None or args.freq_offset
+            or args.tune_error) and src.ndim == 1:
+        # run the source through the radio front end (gain, tuning) —
+        # the SoraURadioSetRxGain/SetCentralFreq path over software
+        from sora_tpu.runtime.radio import SoftRadio
+        radio = SoftRadio()
+        radio.attach_air(src, freq_hz=2.422e9,
+                         rate_sps=rate_sps or default_sps)
+        if args.rx_gain is not None:
+            radio.set_rx_gain(args.rx_gain)
+        radio.set_central_freq(2.422e9 + args.tune_error)
+        radio.set_freq_offset(args.freq_offset)
+        src = radio.capture()
+        _log(f"radio: rx_gain={radio.state.rx_gain_db} dB "
+             f"tune_error={args.tune_error:+.0f} Hz "
+             f"freq_offset={args.freq_offset:+.0f} Hz")
     if args.phy == "n":
         rings = [RxRing(capacity=1 << 22), RxRing(capacity=1 << 22)]
     else:
