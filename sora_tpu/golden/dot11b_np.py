@@ -197,7 +197,7 @@ def demodulate(x: np.ndarray, oversample: int = 1) -> RxResult:
     t0 = int(np.argmax(folds))
     res.start_chip = t0
     nsym_avail = (len(x) - t0) // 11
-    if nsym_avail < 160:
+    if nsym_avail < 110:
         return res
     corr = _barker_demod(x, nsym_avail, t0)
     # DBPSK demod over the whole stream (differential)
@@ -205,18 +205,46 @@ def demodulate(x: np.ndarray, oversample: int = 1) -> RxResult:
     bits = (np.real(d) < 0).astype(np.uint8)   # pi flip => bit 1
     # first symbol has no reference; prepend assuming sync bit
     bits = np.concatenate([[1], bits])
-    # hunt the SFD in the descrambled stream
+    # hunt the SFD in the descrambled stream: long first, else the
+    # reversed short-preamble SFD (Clause 18.2.5 / PHY_11b.hpp:26)
     desc = B.descramble_11b(bits)
     sfd = np.array([(B.SFD_LONG >> i) & 1 for i in range(16)], np.uint8)
     pos = _find_pattern(desc, sfd, limit=B.SYNC_BITS + 64)
+    short = False
+    if pos < 0:
+        sfd_s = np.array([(B.SFD_SHORT >> i) & 1 for i in range(16)],
+                         np.uint8)
+        pos = _find_pattern(desc, sfd_s,
+                            limit=B.SYNC_BITS_SHORT + 64)
+        short = pos >= 0
     if pos < 0:
         res.reason = "no_sfd"
         return res
-    hdr_start = pos + 16
-    if hdr_start + 48 > len(desc):
-        res.reason = "truncated"
-        return res
-    hdr = desc[hdr_start: hdr_start + 48]
+    if short:
+        # 48 header bits on 24 DQPSK symbols at 2 Mbps
+        hs = pos + 16
+        if hs + 24 >= len(corr):
+            res.reason = "truncated"
+            return res
+        cs = corr[hs - 1: hs + 24]
+        dh = cs[1:] * np.conj(cs[:-1])
+        q = np.round(np.angle(dh) / (np.pi / 2)).astype(int) % 4
+        demap = np.array([[0, 0], [0, 1], [1, 1], [1, 0]], np.uint8)
+        raw_hdr = demap[q].reshape(-1)
+        seed = 0
+        for i in range(7):
+            seed |= int(bits[hs - 1 - i]) << i
+        hdr = B.descramble_11b(raw_hdr, seed)
+        hdr_end_sym = hs + 24
+        data_prev7 = raw_hdr[-7:]
+    else:
+        hdr_start = pos + 16
+        if hdr_start + 48 > len(desc):
+            res.reason = "truncated"
+            return res
+        hdr = desc[hdr_start: hdr_start + 48]
+        hdr_end_sym = hdr_start + 48
+        data_prev7 = bits[hdr_end_sym - 7: hdr_end_sym]
     crc = B.crc16_plcp(hdr[:32])
     rx_crc = int(np.sum(hdr[32:48].astype(np.int64) << np.arange(16)))
     if crc != rx_crc:
@@ -232,7 +260,7 @@ def demodulate(x: np.ndarray, oversample: int = 1) -> RxResult:
     res.length_us = length_us
     service = int(np.sum(hdr[8:16].astype(np.int64) << np.arange(8)))
     # data region starts after header symbols
-    data_sym0 = t0 + 11 * (hdr_start + 48)
+    data_sym0 = t0 + 11 * hdr_end_sym
     nbits = int(rate * length_us)
     if rate == 11 and (service & 0x80):
         nbits -= 8
@@ -270,10 +298,9 @@ def demodulate(x: np.ndarray, oversample: int = 1) -> RxResult:
             res.reason = "truncated"
             return res
     # descramble with register seeded by the last 7 raw bits before data
-    hdr_raw = bits[hdr_start + 48 - 7: hdr_start + 48]
     seed = 0
     for i in range(7):
-        seed |= int(hdr_raw[-1 - i]) << i
+        seed |= int(data_prev7[-1 - i]) << i
     data = B.descramble_11b(raw, seed)
     psdu = np.packbits(data[: nbytes * 8], bitorder="little").tobytes()
     res.psdu = psdu

@@ -50,3 +50,18 @@ def test_cck_codebook_unit_power():
     g = bk @ bk.conj().T
     off = np.abs(g - np.diag(np.diag(g)))
     assert off.max() < 8.0 - 1e-9       # none identical
+
+
+def test_golden_short_preamble_roundtrip(rng):
+    """Golden oracle handles the short-preamble format both ways
+    (Clause 18.2.5; preamble_type 1 of PHY_11b.hpp:26)."""
+    for rate in (2, 5.5, 11):
+        psdu = fr.build_data_frame(bytes(rng.integers(
+            0, 256, 50, dtype=np.uint8)), seq=int(2 * rate))
+        w = b.modulate(psdu, rate, preamble="short")
+        x = np.concatenate([np.zeros(70), w, np.zeros(70)])
+        x += (rng.normal(size=len(x)) + 1j * rng.normal(size=len(x))
+              ) * 0.01
+        res = b.demodulate(x)
+        assert res.ok and res.rate_mbps == rate, (rate, res.reason)
+        assert res.psdu == psdu
