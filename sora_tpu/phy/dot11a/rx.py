@@ -306,10 +306,89 @@ def extract_symbols(x: jnp.ndarray, lts1: jnp.ndarray, cfo: jnp.ndarray,
 # unimplemented there); numpy constants embed directly
 _SIG_PERM = C.interleaver_permutation(48, 1)
 
+# hard-decision disagreement bound for accepting the ML SIGNAL winner:
+# a genuine frame at any SNR where its payload can still decode flips
+# <=2-3 of the 48 coded bits (measured: <=2 at 4 dB, the 6 Mbps FCS
+# floor); random noise sits >=8 flips from even the CLOSEST of the
+# 32768 codewords (measured min 8, mean 10; the code's free distance
+# is 10).  Mirrors the error-detection role of the reference's
+# parity+tail check with a lower false-accept rate.
+_SIG_MAX_DIST = 6
+
+
+def _conv_encode_np(bits: np.ndarray) -> np.ndarray:
+    """Rate-1/2 K=7 (133,171) encode, numpy, matching dsp.viterbi.encode:
+    (M, T) -> (M, T, 2)."""
+    M, T = bits.shape
+    padded = np.pad(bits, ((0, 0), (6, 0)))
+    outa = np.zeros_like(bits)
+    outb = np.zeros_like(bits)
+    for i in range(7):
+        tap = padded[:, 6 - i: 6 - i + T]
+        if (C.G0 >> (6 - i)) & 1:
+            outa = outa ^ tap
+        if (C.G1 >> (6 - i)) & 1:
+            outb = outb ^ tap
+    return np.stack([outa, outb], axis=-1)
+
+
+@lru_cache(maxsize=None)
+def _signal_ml_tables():
+    """The COMPLETE valid-SIGNAL codebook: 8 rates x 4096 lengths =
+    32768 messages, each conv-encoded to 48 coded bits.
+
+    The SIGNAL symbol's whole information content is (rate, length) —
+    reserved, parity and tail are determined — so its maximum-likelihood
+    decode is a correlation against all 32768 codewords: ONE
+    (B, 48) x (48, 32768) MXU matmul + argmax, replacing a 24-step
+    sequential Viterbi scan (latency-bound on TPU: tiny per-step work,
+    ~0.7 ms inside the fused pipeline) with ~50 us of matmul.  This is
+    exact ML over the valid message set — strictly stronger than
+    Viterbi, which also searches invalid messages.
+
+    Returns (templates (32768, 48) float32 +-1 in deinterleaved soft
+    order, rate_bits (32768,) int32; message m = rate_index * 4096 +
+    length with rate_index over sorted RATES)."""
+    n_len = 4096
+    rates = sorted(C.RATES)
+    rb = np.array([C.RATES[m].rate_bits for m in rates], np.int32)
+    Mn = len(rates) * n_len
+    bits = np.zeros((Mn, 24), np.uint8)
+    ridx = np.arange(Mn) // n_len
+    length = np.arange(Mn) % n_len
+    rbits = rb[ridx]
+    for i in range(4):                       # b0..b3: rate, MSB first
+        bits[:, i] = (rbits >> (3 - i)) & 1
+    for i in range(12):                      # b5..b16: length, LSB first
+        bits[:, 5 + i] = (length >> i) & 1
+    bits[:, 17] = bits[:, :17].sum(axis=1) & 1     # even parity
+    coded = _conv_encode_np(bits).reshape(Mn, 48)
+    return ((2.0 * coded - 1.0).astype(np.float32),
+            rbits.astype(np.int32))
+
 
 @jax.jit
 def decode_signal(eq_sig: jnp.ndarray):
-    """(B, 48) equalized SIGNAL carriers -> (rate_bits, length, ok)."""
+    """(B, 48) equalized SIGNAL carriers -> (rate_bits, length, ok) by
+    exact ML over the valid-SIGNAL codebook (see _signal_ml_tables)."""
+    soft = dmap.demap_soft(eq_sig, "bpsk")            # (B, 48)
+    de = soft[:, _SIG_PERM]
+    tmpl, rb = _signal_ml_tables()
+    score = jnp.matmul(de, jnp.asarray(tmpl).T)       # (B, 32768)
+    m = jnp.argmax(score, axis=-1)
+    rate_bits = jnp.asarray(rb)[m]
+    length = (m % 4096).astype(jnp.int32)
+    hard = (de > 0).astype(jnp.uint8)
+    cw = (jnp.asarray((tmpl > 0).astype(np.uint8)))[m]
+    dist = jnp.sum(hard ^ cw, axis=-1)
+    ok = (dist <= _SIG_MAX_DIST) & (length > 0)
+    return rate_bits, length, ok
+
+
+@jax.jit
+def decode_signal_viterbi(eq_sig: jnp.ndarray):
+    """The sequential-trellis SIGNAL decode (kept as the cross-check for
+    the ML codebook path; same contract)."""
     soft = dmap.demap_soft(eq_sig, "bpsk")            # (B, 48)
     de = soft[:, _SIG_PERM]
     bits = dvit.decode_auto(de.reshape(-1, 24, 2), terminated=True,

@@ -242,14 +242,20 @@ def extract_symbols(x: jnp.ndarray, lts1: jnp.ndarray, cfo: jnp.ndarray,
 def decode_lsig(eq: jnp.ndarray):
     """(B, 48) L-SIG carriers -> (lsig_ok (B,) bool).  For HT mixed-mode
     the L-SIG only gates the frame (rate 6 Mbps spoof length); the real
-    parameters come from HT-SIG."""
+    parameters come from HT-SIG.  Validity via the 11a valid-SIGNAL
+    codebook (phy.dot11a.rx._signal_ml_tables): one MXU matmul + a
+    hard-distance bound replaces the 24-step sequential Viterbi scan."""
+    from sora_tpu.phy.dot11a.rx import _SIG_MAX_DIST, _signal_ml_tables
+
     soft = dmap.demap_soft(eq, "bpsk")
     de = soft[:, _SIG_PERM]
-    bits = dvit.decode_auto(de.reshape(-1, 24, 2), terminated=True,
-                            blockwise=False).astype(jnp.int32)
-    parity_ok = (jnp.sum(bits[:, :17], axis=-1) & 1) == bits[:, 17]
-    tail_ok = jnp.sum(bits[:, 18:24], axis=-1) == 0
-    return parity_ok & tail_ok
+    tmpl, _rb = _signal_ml_tables()
+    score = jnp.matmul(de, jnp.asarray(tmpl).T)
+    m = jnp.argmax(score, axis=-1)
+    hard = (de > 0).astype(jnp.uint8)
+    cw = (jnp.asarray((tmpl > 0).astype(np.uint8)))[m]
+    dist = jnp.sum(hard ^ cw, axis=-1)
+    return (dist <= _SIG_MAX_DIST) & ((m % 4096) > 0)
 
 
 @jax.jit

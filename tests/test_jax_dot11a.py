@@ -240,3 +240,35 @@ def test_rx_auto_multi_mixed_snr(rng):
     length = np.asarray(out["length"])
     assert bytes(got[0][:length[0]]) == psdus[0]
     assert bytes(got[1][:length[1]]) == psdus[1]
+
+
+def test_signal_ml_matches_viterbi(rng):
+    """The codebook-matmul SIGNAL decode is exact ML over the valid
+    message set: on decodable frames it agrees with the sequential
+    Viterbi decode field-for-field; on noise it rejects."""
+    import jax.numpy as jnp
+
+    rates = [6, 9, 12, 18, 24, 36, 48, 54]
+    psdus = [fr.build_data_frame(bytes(rng.integers(0, 256, 40 + 9 * i,
+                                                    dtype=np.uint8)),
+                                 seq=i) for i in range(8)]
+    waves = [g.modulate(p, r).astype(np.complex64)
+             for p, r in zip(psdus, rates)]
+    N = max(len(w) for w in waves) + 200
+    x = np.zeros((8, N), np.complex64)
+    for i, w in enumerate(waves):
+        x[i, 40: 40 + len(w)] = w
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)
+          ).astype(np.complex64) * 0.05
+    lts1, cfo, det = jrx.synchronize(jnp.asarray(x))
+    eq, _ = jrx.extract_symbols(jnp.asarray(x), lts1, cfo, 0)
+    rb1, ln1, ok1 = (np.asarray(v) for v in
+                     jrx.decode_signal(eq[:, 0, :]))
+    rb2, ln2, ok2 = (np.asarray(v) for v in
+                     jrx.decode_signal_viterbi(eq[:, 0, :]))
+    assert ok1.all() and ok2.all()
+    assert (rb1 == rb2).all() and (ln1 == ln2).all()
+    noise = (rng.normal(size=(16, 48))
+             + 1j * rng.normal(size=(16, 48))).astype(np.complex64)
+    _, _, okn = jrx.decode_signal(jnp.asarray(noise))
+    assert not np.asarray(okn).any()
