@@ -88,10 +88,11 @@ def _legacy_preamble(ant: int) -> np.ndarray:
     return pre / np.sqrt(2.0)
 
 
-def _lsig_bits(mcs: int, length: int, nsym: int) -> np.ndarray:
+def _lsig_bits(mcs: int, length: int, nsym: int,
+               n_ltf: int = 2) -> np.ndarray:
     """Spoofed legacy SIGNAL for HT mixed mode: rate 6 Mbps, L-LENGTH
     covering the HT part duration (Clause 20.3.9.3.5)."""
-    txtime_after = 8 + 4 + 4 * 2 + 4 * nsym      # HT-SIG+STF+2 LTF+data, us
+    txtime_after = 8 + 4 + 4 * n_ltf + 4 * nsym  # HT-SIG+STF+LTFs+data, us
     llen = max(1, min(4095, 3 * ((txtime_after + 3) // 4) - 3))
     sig = np.zeros(24, np.uint8)
     rate_bits = C.RATES[6].rate_bits
@@ -129,13 +130,80 @@ def _legacy_data_freq(bits48: np.ndarray, pol_idx: int,
 
 
 def num_symbols(mcs_idx: int, psdu_len: int) -> int:
-    m = N.MCS[mcs_idx]
+    m = N.mcs_param(mcs_idx)
     return -(-(16 + 8 * psdu_len + 6) // m.ndbps)
+
+
+def _modulate_1ss(psdu: bytes, mcs_idx: int,
+                  scrambler_seed: int = 0x5D) -> np.ndarray:
+    """Single-spatial-stream HT TX (MCS 0-7, Table 20-30): one TX chain,
+    no CSD, one HT-LTF, full-scale symbols.  -> (1, nsamples)."""
+    m = N.MCS1[mcs_idx]
+    length = len(psdu)
+    nsym = num_symbols(mcs_idx, length)
+    nbits = nsym * m.ndbps
+    data = np.zeros(nbits, np.uint8)
+    data[16: 16 + 8 * length] = np.unpackbits(
+        np.frombuffer(psdu, np.uint8), bitorder="little")
+    scrambled = data ^ C.scrambler_sequence(nbits, scrambler_seed)
+    scrambled[16 + 8 * length: 16 + 8 * length + 6] = 0
+    coded = puncture(conv_encode(scrambled), m.num, m.den)
+    perm = N.ht_interleaver_permutation(m.nbpsc, 0)
+    sym_freq = np.zeros((nsym, len(N.HT_SC_IDX)), np.complex128)
+    for k in range(nsym):
+        blk = coded[k * m.ncbpss: (k + 1) * m.ncbpss]
+        inter = np.zeros(m.ncbpss, np.uint8)
+        inter[perm] = blk
+        f = np.zeros(len(N.HT_SC_IDX), np.complex128)
+        f[(N.HT_DATA_SC + 28)] = C.map_bits(inter, m.modulation)
+        f[(N.HT_PILOT_SC + 28)] = (N.PSI1[(np.arange(4) + k) % 4]
+                                   * C.PILOT_POLARITY[(3 + k) % 127])
+        sym_freq[k] = f
+    parts = [_preamble_1ss(mcs_idx, length, nsym)]
+    for k in range(nsym):
+        parts.append(_ht_sym_1ss(sym_freq[k]))
+    return np.concatenate(parts)[None, :]
+
+
+def _leg_sym_1ss(freq):
+    x = np.zeros(N.NFFT, dtype=np.complex128)
+    x[C.OCC_BINS] = freq
+    t = np.fft.ifft(x) * N.NFFT / np.sqrt(52.0)
+    return np.concatenate([t[-16:], t])
+
+
+def _ht_sym_1ss(freq):
+    t = N.ht_time_symbol(freq)
+    return np.concatenate([t[-16:], t])
+
+
+def _preamble_1ss(mcs_idx: int, length: int, nsym: int) -> np.ndarray:
+    """(720,) single-chain preamble: L-STF/L-LTF/L-SIG/HT-SIG x2/HT-STF/
+    one HT-LTF — full scale, no CSD."""
+    lsig = _lsig_bits(mcs_idx, length, nsym, n_ltf=1)
+    htsig = N.htsig_bits(mcs_idx, length)
+    sts = np.tile(C.STS_TIME_PERIOD, 10)
+    lts = np.asarray(C.LTS_TIME_SYM)
+    parts = [np.concatenate([sts, lts[-32:], lts, lts])]
+    parts.append(_leg_sym_1ss(_legacy_data_freq(
+        _encode_legacy_symbolbits(lsig), 0)))
+    parts.append(_leg_sym_1ss(_legacy_data_freq(
+        _encode_legacy_symbolbits(htsig[:24]), 1, qbpsk=True)))
+    parts.append(_leg_sym_1ss(_legacy_data_freq(
+        _encode_legacy_symbolbits(htsig[24:]), 2, qbpsk=True)))
+    fstf = np.zeros(len(N.HT_SC_IDX), np.complex128)
+    fstf[(C.SC_IDX + 28)] = C.STS_FREQ
+    parts.append(_ht_sym_1ss(fstf))
+    parts.append(_ht_sym_1ss(N.HTLTF_FREQ))   # single HT-LTF, P = [1]
+    return np.concatenate(parts)
 
 
 def modulate(psdu: bytes, mcs_idx: int, scrambler_seed: int = 0x5D
              ) -> np.ndarray:
-    """PSDU -> (2, nsamples) 20 Msps waveform, one row per TX chain."""
+    """PSDU -> (nss_tx, nsamples) 20 Msps waveform, one row per TX
+    chain: (2, n) for MCS 8-15, (1, n) for single-stream MCS 0-7."""
+    if mcs_idx in N.MCS1:
+        return _modulate_1ss(psdu, mcs_idx, scrambler_seed)
     m = N.MCS[mcs_idx]
     length = len(psdu)
     nsym = num_symbols(mcs_idx, length)

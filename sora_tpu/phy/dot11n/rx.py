@@ -47,6 +47,7 @@ _LTS_SIGN[C.OCC_BINS] = C.LTS_FREQ
 # window layout after the first LTS repeat (20 Msps samples)
 _OFF_LSIG, _OFF_HTSIG1, _OFF_HTSIG2 = 128, 208, 288
 _OFF_HTLTF1, _OFF_HTLTF2, _OFF_DATA = 448, 528, 608
+_OFF_DATA_1SS = 528               # single HT-LTF: data starts 80 earlier
 
 _SIG_PERM = C.interleaver_permutation(48, 1)
 
@@ -60,7 +61,7 @@ _CRC8_MAT = np.stack([
 
 
 def num_symbols(mcs: int, psdu_len: int) -> int:
-    return -(-(16 + 8 * psdu_len + 6) // N.MCS[mcs].ndbps)
+    return -(-(16 + 8 * psdu_len + 6) // N.mcs_param(mcs).ndbps)
 
 
 def max_symbols(mcs: int, max_psdu: int = MAX_PSDU) -> int:
@@ -386,6 +387,216 @@ def rx_pipeline(x: jnp.ndarray, mcs: int, max_psdu: int = MAX_PSDU):
 
 
 # =============================================================================
+# Single-spatial-stream path (MCS 0-7, Table 20-30)
+# =============================================================================
+#
+# The reference supported 2-stream HT only (MCS 8-10); a complete HT
+# station also speaks the single-stream set.  Nsts = 1 degenerates the
+# MIMO machinery: ONE HT-LTF (so data starts 80 samples earlier), a
+# (2 RX x 1) channel column, and maximal-ratio combining instead of the
+# 2x2 inverse — the same shapes as the legacy-coded SIG symbols.
+
+
+@partial(jax.jit, static_argnames=("nsym",))
+def extract_symbols_1ss(x: jnp.ndarray, lts1: jnp.ndarray,
+                        cfo: jnp.ndarray, nsym: int):
+    """Front end for single-stream HT frames.  x: (B, 2, N).
+    Returns (sig_eq (B, 3, 48), xd (B, nsym, 52), snr_db (B,))."""
+    B, A, Nn = x.shape
+    need = _OFF_DATA_1SS + 80 * nsym
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, need)))
+
+    def cut(frame, start):
+        return jax.lax.dynamic_slice(frame, (0, start), (A, need))
+
+    y = jax.vmap(cut)(xp, lts1)
+    n_idx = jnp.arange(need, dtype=jnp.float32)
+    y = y * jnp.exp(-1j * cfo[:, None, None] * n_idx)
+    fine = jnp.angle(jnp.sum(jnp.conj(y[:, :, :64]) * y[:, :, 64:128],
+                             axis=(-2, -1))).astype(jnp.float32) / 64.0
+    y = y * jnp.exp(-1j * fine[:, None, None] * n_idx)
+
+    L = 0.5 * (dfft.fft64(y[:, :, :64]) + dfft.fft64(y[:, :, 64:128]))
+    Hleg = L * jnp.asarray(_LTS_SIGN)
+    nvar = jnp.mean(jnp.abs(y[:, :, :64] - y[:, :, 64:128]) ** 2,
+                    axis=(-2, -1)) / 2
+    sig_p = jnp.mean(jnp.abs(Hleg) ** 2, axis=(-2, -1)) * (64.0 / 52.0)
+    snr_db = 10.0 * jnp.log10(sig_p / (nvar + 1e-12) + 1e-12)
+
+    lsig = _mrc_symbol(y, Hleg, _OFF_LSIG, 0)
+    ht1 = _mrc_symbol(y, Hleg, _OFF_HTSIG1, 1)
+    ht2 = _mrc_symbol(y, Hleg, _OFF_HTSIG2, 2)
+    gain = jnp.mean(jnp.abs(lsig), axis=-1, keepdims=True) + 1e-12
+    sig_eq = jnp.stack([lsig, ht1, ht2], axis=1) / gain[:, None, :]
+
+    if nsym == 0:
+        return sig_eq, jnp.zeros((B, 0, 52), jnp.complex64), snr_db
+
+    # (2 x 1) channel column from the single HT-LTF
+    lseq_full = np.ones(64, np.float32)
+    lseq_full[N.HT_OCC_BINS] = np.where(N.HTLTF_FREQ == 0, 1.0,
+                                        N.HTLTF_FREQ)
+    Yl = dfft.fft64(y[:, :, _OFF_HTLTF1 + 16: _OFF_HTLTF1 + 80])
+    H = Yl * jnp.asarray(lseq_full)[None, None, :]        # (B, 2, 64)
+
+    sym = y[:, :, _OFF_DATA_1SS: _OFF_DATA_1SS + 80 * nsym].reshape(
+        B, A, nsym, 80)[:, :, :, 16:]
+    S = dfft.fft64(sym)                                   # (B,2,nsym,64)
+    num = jnp.sum(jnp.conj(H)[:, :, None, :] * S, axis=1)
+    den = jnp.sum(jnp.abs(H) ** 2, axis=1)[:, None, :] + 1e-12
+    E = num / den                                         # (B,nsym,64)
+
+    # pilot phase + slope track (PSI1 rotation, eq 20-59)
+    from sora_tpu.phy.dot11a.rx import _pilot_slope
+    k = np.arange(nsym)
+    expect = (N.PSI1[(np.arange(4)[None, :] + k[:, None]) % 4]
+              * C.PILOT_POLARITY[(3 + k) % 127][:, None]
+              ).astype(np.float32)                        # (nsym, 4)
+    pv = E[:, :, jnp.asarray(N.HT_PILOT_BINS)] * jnp.asarray(expect)[None]
+    slope = _pilot_slope(pv)
+    k4 = jnp.asarray(N.HT_PILOT_SC.astype(np.float32))
+    ph = jnp.angle(jnp.sum(
+        pv * jnp.exp(-1j * slope[:, :, None] * k4[None, None, :]),
+        axis=-1))
+    k52 = jnp.asarray(N.HT_DATA_SC.astype(np.float32))
+    E = E[:, :, jnp.asarray(N.HT_DATA_BINS)] * jnp.exp(
+        -1j * (ph[:, :, None] + slope[:, :, None] * k52[None, None, :]))
+    return sig_eq, E, snr_db
+
+
+@lru_cache(maxsize=None)
+def _mcs1_symbol_matrix(mcs: int) -> np.ndarray:
+    """(ncbpss, 2*ndbps) per-symbol one-hot collapsing the stream-0 HT
+    deinterleave + depuncture into one linear map (the Nss=1 slice of
+    the _auto_tables_n construction)."""
+    m = N.MCS1[mcs]
+    perm = N.ht_interleaver_permutation(m.nbpsc, 0)
+    pa, pb = N.puncture_pattern(m.num, m.den)
+    keep = np.stack([pa, pb], -1).reshape(-1)
+    keepf = np.tile(keep, -(-2 * m.ndbps // len(keep)))[: 2 * m.ndbps]
+    tx_slots = np.flatnonzero(keepf)                   # (ncbpss,)
+    P = np.zeros((m.ncbpss, 2 * m.ndbps), np.float32)
+    P[perm[np.arange(m.ncbpss)], tx_slots] = 1.0
+    return P
+
+
+@partial(jax.jit, static_argnames=("mcs", "max_psdu"))
+def decode_data_1ss(xd: jnp.ndarray, length: jnp.ndarray, mcs: int,
+                    max_psdu: int = MAX_PSDU):
+    """xd: (B, nsym_max, 52) MRC-combined carriers -> (psdu, fcs_ok)."""
+    m = N.MCS1[mcs]
+    B, nsym_max = xd.shape[0], xd.shape[1]
+    soft = dmap.demap_soft(xd, m.modulation)       # (B, nsym, ncbpss)
+    nbits = 16 + 8 * length + 6
+    nsym_actual = -(-nbits // m.ndbps)
+    symi = jnp.arange(nsym_max)[None, :]
+    soft = jnp.where(symi[:, :, None] < nsym_actual[:, None, None],
+                     soft, 0.0)
+    ab = jnp.einsum("bsj,jk->bsk", soft,
+                    jnp.asarray(_mcs1_symbol_matrix(mcs)))
+    t_steps = nsym_max * m.ndbps
+    bits = dvit.decode_auto(ab.reshape(B, t_steps, 2), terminated=True)
+    return _finish_frame(bits, length, t_steps, max_psdu)
+
+
+@partial(jax.jit, static_argnames=("mcs", "max_psdu"))
+def rx_pipeline_1ss(x: jnp.ndarray, mcs: int, max_psdu: int = MAX_PSDU):
+    """Complete batched single-stream HT RX for a known MCS 0-7.
+    x: (B, 2, N) complex64 (2 RX antennas, MRC)."""
+    nsym_win = max(1, (int(x.shape[-1]) - _OFF_DATA_1SS) // 80)
+    nsym = min(max_symbols(mcs, max_psdu), nsym_win)
+    lts1, cfo, det = synchronize(x)
+    sig_eq, xd, snr_db = extract_symbols_1ss(x, lts1, cfo, nsym)
+    lsig_ok = decode_lsig(sig_eq[:, 0])
+    mcs_rx, length, htsig_ok = decode_htsig(sig_eq[:, 1:])
+    length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
+    psdu, fcs_ok = decode_data_1ss(xd, length, mcs, max_psdu)
+    sig_ok = lsig_ok & htsig_ok
+    cs_ok = det >= CS_DET_THRESHOLD
+    ok = cs_ok & sig_ok & (mcs_rx == mcs) & fcs_ok
+    return {"psdu": psdu, "fcs_ok": fcs_ok.astype(jnp.uint8),
+            "sig_ok": sig_ok.astype(jnp.uint8), "ok": ok.astype(jnp.uint8),
+            "cs_ok": cs_ok.astype(jnp.uint8), "det": det,
+            "mcs": mcs_rx.astype(jnp.int32), "length": length,
+            "snr_db": snr_db, "lts1": lts1, "cfo": cfo}
+
+
+_MCS1_LIST = sorted(N.MCS1)                        # 0..7
+
+
+@lru_cache(maxsize=None)
+def _auto_tables_1ss(max_psdu: int, nsym_cap: int = 1 << 30):
+    """Per-MCS one-hot (676 -> 2*ndbps) matrices for the single-stream
+    mixed-MCS decoder (the Nss=1 sibling of _auto_tables_n)."""
+    nsyms = tuple(min(max_symbols(mc, max_psdu), nsym_cap)
+                  for mc in _MCS1_LIST)
+    nsym_max = max(nsyms)
+    t_max = max(n * N.MCS1[mc].ndbps for n, mc in zip(nsyms, _MCS1_LIST))
+    mats = []
+    for mc in _MCS1_LIST:
+        m = N.MCS1[mc]
+        perm = N.ht_interleaver_permutation(m.nbpsc, 0)
+        pa, pb = N.puncture_pattern(m.num, m.den)
+        keep = np.stack([pa, pb], -1).reshape(-1)
+        keepf = np.tile(keep, -(-2 * m.ndbps // len(keep)))[: 2 * m.ndbps]
+        tx_slots = np.flatnonzero(keepf)
+        P = np.zeros((_STREAM_W, 2 * m.ndbps), np.float32)
+        P[_MOD_OFF_N[m.modulation] + perm[np.arange(m.ncbpss)],
+          tx_slots] = 1.0
+        mats.append(P)
+    return (tuple(mats), nsyms,
+            np.array([N.MCS1[mc].ndbps for mc in _MCS1_LIST], np.int32),
+            nsym_max, t_max)
+
+
+@partial(jax.jit, static_argnames=("max_psdu",))
+def rx_pipeline_auto_1ss(x: jnp.ndarray, max_psdu: int = MAX_PSDU):
+    """Complete batched single-stream HT RX with runtime MCS dispatch:
+    a batch mixing MCS 0-7 decodes in ONE jit program.  x: (B, 2, N)."""
+    nsym_win = max(1, (int(x.shape[-1]) - _OFF_DATA_1SS) // 80)
+    mats, nsyms, ndbps_tab, nsym_max, t_max = _auto_tables_1ss(max_psdu,
+                                                               nsym_win)
+    lts1, cfo, det = synchronize(x)
+    sig_eq, xd, snr_db = extract_symbols_1ss(x, lts1, cfo, nsym_max)
+    B = sig_eq.shape[0]
+    lsig_ok = decode_lsig(sig_eq[:, 0])
+    mcs_rx, length, htsig_ok = decode_htsig(sig_eq[:, 1:])
+    length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
+    known = (mcs_rx >= _MCS1_LIST[0]) & (mcs_rx <= _MCS1_LIST[-1])
+    mcs_idx = jnp.clip(mcs_rx, 0, len(_MCS1_LIST) - 1)
+
+    soft_cat = jnp.concatenate(
+        [dmap.demap_soft(xd, mod) for mod in _MOD_ORDER], axis=-1)
+    ndbps = jnp.asarray(ndbps_tab)[mcs_idx]
+    nbits = 16 + 8 * length + 6
+    nsym_actual = (nbits + ndbps - 1) // ndbps
+    symi = jnp.arange(nsym_max)[None, :, None]
+    soft_cat = jnp.where(symi < nsym_actual[:, None, None], soft_cat, 0.0)
+    ab_rs = []
+    for ri, mc in enumerate(_MCS1_LIST):
+        nd = N.MCS1[mc].ndbps
+        ab_r = jnp.einsum("bsj,jk->bsk", soft_cat[:, : nsyms[ri]],
+                          jnp.asarray(mats[ri]))
+        ab_r = ab_r.reshape(B, nsyms[ri] * nd, 2)
+        ab_rs.append(jnp.pad(
+            ab_r, ((0, 0), (0, t_max - nsyms[ri] * nd), (0, 0))))
+    onehot = (mcs_idx[:, None]
+              == jnp.arange(len(_MCS1_LIST))[None, :]).astype(jnp.float32)
+    ab = jnp.einsum("br,rbtc->btc", onehot, jnp.stack(ab_rs))
+    bits = dvit.decode_auto(ab, terminated=True)
+    psdu, fcs_ok = _finish_frame(bits, length, t_max, max_psdu)
+
+    sig_ok = lsig_ok & htsig_ok
+    cs_ok = det >= CS_DET_THRESHOLD
+    ok = cs_ok & sig_ok & known & fcs_ok
+    return {"psdu": psdu, "fcs_ok": fcs_ok.astype(jnp.uint8),
+            "sig_ok": sig_ok.astype(jnp.uint8), "ok": ok.astype(jnp.uint8),
+            "cs_ok": cs_ok.astype(jnp.uint8), "det": det,
+            "mcs": mcs_rx.astype(jnp.int32), "length": length,
+            "snr_db": snr_db, "lts1": lts1, "cfo": cfo}
+
+
+# =============================================================================
 # Mixed-MCS batched decode (runtime MCS dispatch)
 # =============================================================================
 #
@@ -571,7 +782,7 @@ def demodulate(x, expect_mcs: int | None = None) -> RxResult:
         return res
     mcs, res.length = int(mcs_rx[0]), int(length[0])
     res.mcs = mcs
-    if mcs not in N.MCS:
+    if mcs not in N.MCS and mcs not in N.MCS1:
         res.reason = "htsig_fail"
         return res
     if expect_mcs is not None and mcs != expect_mcs:
@@ -580,14 +791,21 @@ def demodulate(x, expect_mcs: int | None = None) -> RxResult:
     if res.length > MAX_PSDU:
         res.reason = "oversize"
         return res
+    one_ss = mcs in N.MCS1
+    off_data = _OFF_DATA_1SS if one_ss else _OFF_DATA
     nsym_actual = num_symbols(mcs, res.length)
-    if x.shape[1] < res.start + _OFF_DATA + 80 * nsym_actual:
+    if x.shape[1] < res.start + off_data + 80 * nsym_actual:
         res.reason = "truncated"
         return res
     nsym = max_symbols(mcs)
-    _, xd, _ = extract_symbols(xb, lts1, cfo, nsym)
-    psdu, fcs_ok = decode_data(xd, jnp.asarray([res.length], jnp.int32),
-                               mcs)
+    if one_ss:
+        _, xd, _ = extract_symbols_1ss(xb, lts1, cfo, nsym)
+        psdu, fcs_ok = decode_data_1ss(
+            xd, jnp.asarray([res.length], jnp.int32), mcs)
+    else:
+        _, xd, _ = extract_symbols(xb, lts1, cfo, nsym)
+        psdu, fcs_ok = decode_data(
+            xd, jnp.asarray([res.length], jnp.int32), mcs)
     res.psdu = bytes(np.asarray(psdu[0])[: res.length])
     res.fcs_ok = bool(fcs_ok.astype(jnp.uint8)[0])
     res.ok = res.fcs_ok

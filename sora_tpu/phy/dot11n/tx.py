@@ -30,12 +30,14 @@ from sora_tpu.phy import dot11n_common as N
 
 
 def num_symbols(mcs: int, psdu_len: int) -> int:
-    return -(-(16 + 8 * psdu_len + 6) // N.MCS[mcs].ndbps)
+    return -(-(16 + 8 * psdu_len + 6) // N.mcs_param(mcs).ndbps)
 
 
 def waveform_len(mcs: int, psdu_len: int) -> int:
-    """Samples @20 Msps: 800 preamble(+SIGs) + 80 per data symbol."""
-    return 800 + 80 * num_symbols(mcs, psdu_len)
+    """Samples @20 Msps: preamble(+SIGs) + 80 per data symbol (720 for
+    single-stream MCS 0-7 — one HT-LTF; 800 for 2-stream MCS 8-15)."""
+    pre = 720 if mcs in N.MCS1 else 800
+    return pre + 80 * num_symbols(mcs, psdu_len)
 
 
 @lru_cache(maxsize=None)
@@ -92,11 +94,69 @@ def _csd_phasor() -> np.ndarray:
     return f
 
 
+@lru_cache(maxsize=None)
+def _preamble_const_1ss(mcs: int, psdu_len: int) -> np.ndarray:
+    """(720,) complex64 single-chain preamble (golden helper)."""
+    from sora_tpu.golden import dot11n_np as G
+
+    return G._preamble_1ss(mcs, psdu_len,
+                           num_symbols(mcs, psdu_len)).astype(np.complex64)
+
+
+@lru_cache(maxsize=None)
+def _pilot_table_1ss(nsym: int) -> np.ndarray:
+    """(nsym, 4) float32 pilot values per data symbol, Nsts = 1
+    (PSI1 rotation x polarity, eq 20-59)."""
+    k = np.arange(nsym)
+    return (N.PSI1[(np.arange(4)[None, :] + k[:, None]) % 4]
+            * C.PILOT_POLARITY[(3 + k) % 127][:, None]).astype(np.float32)
+
+
+def _modulate_1ss(psdu: jnp.ndarray, mcs: int, psdu_len: int,
+                  scrambler_seed: int) -> jnp.ndarray:
+    """Single-spatial-stream HT TX (MCS 0-7): (B, L) -> (B, 1, nsamp)."""
+    m = N.MCS1[mcs]
+    B = psdu.shape[0]
+    nsym = num_symbols(mcs, psdu_len)
+    nbits = nsym * m.ndbps
+
+    bits = jnp.zeros((B, nbits), dtype=jnp.uint8)
+    pb = jnp.unpackbits(psdu.astype(jnp.uint8), axis=-1, bitorder="little")
+    bits = bits.at[:, 16: 16 + 8 * psdu_len].set(pb)
+    scr = C.scrambler_sequence(nbits, scrambler_seed)[None, :]
+    scrambled = bits ^ jnp.asarray(scr)
+    tail0 = 16 + 8 * psdu_len
+    scrambled = scrambled.at[:, tail0: tail0 + 6].set(0)
+    coded = dvit.encode(scrambled)
+    tx = coded[:, jnp.asarray(_puncture_gather(m, 2 * nbits))]
+    blocks = tx.reshape(B, nsym, m.ncbpss)
+    perm = N.ht_interleaver_permutation(m.nbpsc, 0)
+    inter = jnp.zeros_like(blocks)
+    inter = inter.at[:, :, jnp.asarray(perm)].set(blocks)
+    data = dmap.map_bits(inter.reshape(B, -1), m.modulation)
+    X = jnp.zeros((B, nsym, 64), dtype=jnp.complex64)
+    X = X.at[:, :, jnp.asarray(N.HT_DATA_BINS)].set(
+        data.reshape(B, nsym, N.NSD))
+    pil = jnp.asarray(_pilot_table_1ss(nsym)).astype(jnp.complex64)
+    X = X.at[:, :, jnp.asarray(N.HT_PILOT_BINS)].set(
+        jnp.broadcast_to(pil[None], (B, nsym, 4)))
+    t = dfft.ifft64(X) * np.float32(64.0 / np.sqrt(56.0))
+    syms = jnp.concatenate([t[..., -16:], t], axis=-1)       # GI
+    body = syms.reshape(B, 1, nsym * 80)
+    pre = jnp.broadcast_to(
+        jnp.asarray(_preamble_const_1ss(mcs, psdu_len))[None, None, :],
+        (B, 1, 720))
+    return jnp.concatenate([pre, body], axis=-1)
+
+
 @partial(jax.jit, static_argnames=("mcs", "psdu_len"))
 def modulate(psdu: jnp.ndarray, mcs: int, psdu_len: int,
              scrambler_seed: int = 0x5D) -> jnp.ndarray:
-    """(B, psdu_len) uint8 -> (B, 2, nsamp) complex64: one 20 Msps
-    waveform per TX chain."""
+    """(B, psdu_len) uint8 -> (B, nss_tx, nsamp) complex64: one 20 Msps
+    waveform per TX chain ((B, 2, n) for MCS 8-15, (B, 1, n) for the
+    single-stream MCS 0-7)."""
+    if mcs in N.MCS1:
+        return _modulate_1ss(psdu, mcs, psdu_len, scrambler_seed)
     m = N.MCS[mcs]
     B = psdu.shape[0]
     nsym = num_symbols(mcs, psdu_len)

@@ -78,6 +78,30 @@ MCS = {
     15: McsParam(15, "qam64", 6, 5, 6),
 }
 
+# Single-spatial-stream MCS 0..7 (Table 20-30) — kept in a separate
+# table so `sorted(MCS)` users (the 2-stream mixed-MCS decode tables)
+# keep their 8..15 domain; `mcs_param` spans both.
+MCS1 = {
+    0: McsParam(0, "bpsk",  1, 1, 2, nss=1),
+    1: McsParam(1, "qpsk",  2, 1, 2, nss=1),
+    2: McsParam(2, "qpsk",  2, 3, 4, nss=1),
+    3: McsParam(3, "qam16", 4, 1, 2, nss=1),
+    4: McsParam(4, "qam16", 4, 3, 4, nss=1),
+    5: McsParam(5, "qam64", 6, 2, 3, nss=1),
+    6: McsParam(6, "qam64", 6, 3, 4, nss=1),
+    7: McsParam(7, "qam64", 6, 5, 6, nss=1),
+}
+
+
+def mcs_param(mcs: int) -> McsParam:
+    """MCS 0..7 (1 spatial stream) or 8..15 (2 streams)."""
+    return MCS[mcs] if mcs in MCS else MCS1[mcs]
+
+
+# Per-stream pilot pattern for Nsts = 1 (Table 20-19 first row); pilot
+# m of symbol n is PSI1[(m + n) % 4] * p_{3+n} (eq 20-59).
+PSI1 = np.array([1.0, 1.0, 1.0, -1.0])
+
 # rate-5/6 puncturing (Clause 20.3.9.4.4 fig 20-11): of each 5 (A,B)
 # pairs transmit A0 B0 A1 B2 A3 B4
 PUNCTURE_56 = (np.array([True, True, False, True, False]),

@@ -62,8 +62,10 @@ def frame_span_samples(phy: str, psdu_len: int, rate: float,
         return int(np.ceil(chips * mult))
     if phy == "n":
         from sora_tpu.phy import dot11n_common as NC
-        nsym = -(-(16 + 8 * psdu_len + 6) // NC.MCS[int(rate)].ndbps)
-        n = 720 + 80 * nsym          # L+HT preambles + HT-SIG + symbols
+        m = NC.mcs_param(int(rate))
+        nsym = -(-(16 + 8 * psdu_len + 6) // m.ndbps)
+        pre = 720 if m.nss == 1 else 800
+        n = pre + 80 * nsym          # L+HT preambles + HT-SIG + symbols
     else:
         from sora_tpu.phy import common as C
         nsym = -(-(16 + 8 * psdu_len + 6) // C.RATES[int(rate)].ndbps)
@@ -485,7 +487,11 @@ class StreamingNode:
                 return xf.reshape(B2, A, -1)
             return xb
 
-        if cfg.mcs is not None:
+        if cfg.mcs is not None and int(cfg.mcs) < 8:
+            # single-spatial-stream set (MCS 0-7): one HT-LTF layout, MRC
+            decode = lambda xb, mc=int(cfg.mcs), m=cfg.max_psdu: \
+                nrx.rx_pipeline_1ss(front(xb), mc, max_psdu=m)
+        elif cfg.mcs is not None:
             decode = lambda xb, mc=int(cfg.mcs), m=cfg.max_psdu: \
                 nrx.rx_pipeline(front(xb), mc, max_psdu=m)
         else:

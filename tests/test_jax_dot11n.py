@@ -136,3 +136,89 @@ def test_mixed_mcs_batch_auto_dispatch(rng):
     got = np.asarray(out["psdu"])
     for i, psdu in enumerate(psdus):
         assert bytes(got[i][: len(psdu)]) == psdu
+
+
+# =============================================================================
+# Single-spatial-stream MCS 0-7 (Table 20-30; beyond the reference's
+# 2-stream-only MCS 8-10 support)
+# =============================================================================
+
+
+def _chan_2x1(rng):
+    while True:
+        h = (rng.normal(size=(2, 1)) + 1j * rng.normal(size=(2, 1))
+             ) / np.sqrt(2.0)
+        if np.abs(h).min() > 0.2:
+            return h
+
+
+@pytest.mark.parametrize("mcs", [0, 3, 5, 7])
+def test_1ss_tx_matches_golden(mcs, rng):
+    psdu = fr.build_data_frame(bytes(rng.integers(0, 256, 60,
+                                                  dtype=np.uint8)), seq=1)
+    arr = np.frombuffer(psdu, np.uint8)[None, :]
+    wj = np.asarray(jtx.modulate(jnp.asarray(arr), mcs, len(psdu)))
+    wg = g.modulate(psdu, mcs)
+    assert wj.shape == (1,) + wg.shape
+    np.testing.assert_allclose(wj[0], wg, atol=2e-3)
+
+
+@pytest.mark.parametrize("mcs", list(range(8)))
+def test_1ss_loopback(mcs, rng):
+    psdu = fr.build_data_frame(bytes(rng.integers(0, 256, 80,
+                                                  dtype=np.uint8)), seq=2)
+    w = g.modulate(psdu, mcs)                       # (1, n)
+    y = _chan_2x1(rng) @ w                          # (2, n)
+    x = np.zeros((1, 2, y.shape[1] + 300), np.complex64)
+    x[0, :, 50: 50 + y.shape[1]] = y
+    cfo = 2 * np.pi * 90e3 / 20e6
+    x = x * np.exp(1j * cfo * np.arange(x.shape[-1]))
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)
+          ).astype(np.complex64) * 0.01
+    out = jrx.rx_pipeline_1ss(jnp.asarray(x), mcs, max_psdu=256)
+    assert np.asarray(out["ok"])[0], (mcs, np.asarray(out["sig_ok"]),
+                                      np.asarray(out["mcs"]))
+    n = int(np.asarray(out["length"])[0])
+    assert bytes(np.asarray(out["psdu"])[0][:n]) == psdu
+
+
+def test_1ss_auto_mixed_mcs(rng):
+    """A batch mixing all eight single-stream MCS decodes in the ONE
+    rx_pipeline_auto_1ss jit program."""
+    psdus, waves = [], []
+    for mcs in range(8):
+        p = fr.build_data_frame(bytes(rng.integers(0, 256, 52,
+                                                   dtype=np.uint8)),
+                                seq=mcs)
+        psdus.append(p)
+        waves.append(_chan_2x1(rng) @ g.modulate(p, mcs))
+    N = max(w.shape[1] for w in waves) + 300
+    x = np.zeros((8, 2, N), np.complex64)
+    for i, w in enumerate(waves):
+        x[i, :, 40: 40 + w.shape[1]] = w
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)
+          ).astype(np.complex64) * 0.01
+    out = jrx.rx_pipeline_auto_1ss(jnp.asarray(x), max_psdu=128)
+    ok = np.asarray(out["ok"])
+    assert ok.all(), (ok, np.asarray(out["mcs"]))
+    assert list(np.asarray(out["mcs"])) == list(range(8))
+    got = np.asarray(out["psdu"])
+    length = np.asarray(out["length"])
+    for i, p in enumerate(psdus):
+        assert bytes(got[i][: length[i]]) == p
+
+
+def test_1ss_demodulate_dispatch(rng):
+    """The host wrapper parses HT-SIG and routes MCS 0-7 frames through
+    the single-stream path automatically."""
+    psdu = fr.build_data_frame(bytes(rng.integers(0, 256, 90,
+                                                  dtype=np.uint8)), seq=4)
+    w = g.modulate(psdu, 4)
+    y = _chan_2x1(rng) @ w
+    x = np.zeros((2, y.shape[1] + 400), np.complex64)
+    x[:, 60: 60 + y.shape[1]] = y
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)
+          ).astype(np.complex64) * 0.01
+    res = jrx.demodulate(x)
+    assert res.ok, res.reason
+    assert res.mcs == 4 and res.psdu == psdu

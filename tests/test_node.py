@@ -570,3 +570,42 @@ def test_node_i8_wire_decodes(rng):
 def test_node_config_rejects_bad_wire():
     with pytest.raises(ValueError):
         NodeConfig(wire="i12")
+
+
+def test_node_11n_single_stream_mcs(rng):
+    """11n mode with a fixed single-stream MCS (0-7): one TX chain on
+    the air, two RX rings fed through a random 2x1 channel, MRC decode."""
+    from sora_tpu.golden import dot11n_np as gn
+
+    rings = [RxRing(capacity=1 << 20), RxRing(capacity=1 << 20)]
+    cfg = NodeConfig(phy="n", window=4096, batch=2, overlap=2816,
+                     max_psdu=256, addr=ADDR, mcs=4)
+    node = StreamingNode(rings, cfg, tx_sink=TxSink())
+    while True:
+        h = (rng.normal(size=(2, 1)) + 1j * rng.normal(size=(2, 1))
+             ) / np.sqrt(2.0)
+        if np.abs(h).min() > 0.25:
+            break
+    pieces0, pieces1, psdus = [], [], []
+    for i in range(3):
+        hdr = MacHeader(addr1=ADDR, addr2=PEER, addr3=ADDR,
+                        seq_ctrl=i << 4)
+        psdu = append_fcs(hdr.pack()
+                          + bytes(rng.integers(0, 256, 70,
+                                               dtype=np.uint8)))
+        psdus.append(psdu)
+        y = h @ gn.modulate(psdu, 4)                 # (2, n)
+        for a, ps in enumerate((pieces0, pieces1)):
+            ps.append(np.zeros(900, np.complex64))
+            ps.append(y[a].astype(np.complex64))
+    for a, ps in enumerate((pieces0, pieces1)):
+        ps.append(np.zeros(2700, np.complex64))
+        x = np.concatenate(ps)
+        x += (rng.normal(size=len(x)) + 1j * rng.normal(size=len(x))
+              ).astype(np.complex64) * 0.01
+        rings[a].write(x)
+    _drain(rings[0], node)
+    assert node.stats.frame_ok == 3, node.report()
+    assert [p for _, p in node.rx_payloads] == [p[24:-4] for p in psdus]
+    for r in rings:
+        r.close()
