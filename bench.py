@@ -268,6 +268,24 @@ def _bench_11n(device_complex, log):
     log(f"  11n MCS15 2x2 path: {msps:.1f} Msamples/s@20Msps/ant "
         f"({msps/20.0:.1f}x realtime), ok={int(ok.sum())}/{B}, "
         f"{B * 1500 * 8 / dt / 1e6:.0f} Mbps decoded")
+
+    # single-stream set (MCS 0-7, beyond the reference's 2-stream-only)
+    psdu1 = fr.build_data_frame(
+        bytes(rng.integers(0, 256, 1472, dtype=np.uint8)), seq=4)
+    w1 = gn.modulate(psdu1, 7)[0].astype(np.complex64)
+    N1 = len(w1) + 400
+    x1 = np.zeros((B, 2, N1), np.complex64)
+    for i in range(B):
+        off = 30 + (7 * i) % 300
+        x1[i, :, off: off + len(w1)] = w1
+    x1 += (rng.normal(size=x1.shape) + 1j * rng.normal(size=x1.shape)
+           ).astype(np.complex64) * 0.02
+    x1d = device_complex(x1)
+    fn1 = lambda xb: nrx.rx_pipeline_1ss(xb, 7, max_psdu=1504)
+    dt1, ok1 = _amortized(fn1, x1d, "ok", reps=30)
+    msps1 = B * N1 / dt1 / 1e6
+    log(f"  11n MCS7 1ss path:  {msps1:.1f} Msamples/s@20Msps/ant "
+        f"({msps1/20.0:.1f}x realtime), ok={int(ok1.sum())}/{B}")
     return msps
 
 

@@ -111,7 +111,8 @@ def sweep_11b(snrs, n=12, payload=48, seed=23):
     return rows
 
 
-def sweep_11n(snrs, mcs_list=(8, 11, 15), n=10, payload=72, seed=31):
+def sweep_11n(snrs, mcs_list=(0, 4, 7, 8, 11, 15), n=10, payload=72,
+              seed=31):
     import jax.numpy as jnp
     from sora_tpu.golden import dot11n_np as gn
     from sora_tpu.phy.dot11n import rx as jrx
@@ -121,18 +122,21 @@ def sweep_11n(snrs, mcs_list=(8, 11, 15), n=10, payload=72, seed=31):
         rng = np.random.default_rng(seed + mcs)
         psdus = _frames(rng, n, payload)
         waves = [np.asarray(gn.modulate(p, mcs)) for p in psdus]
+        one_ss = waves[0].shape[0] == 1
         N = max(w.shape[1] for w in waves) + 300
         x = np.zeros((n, 2, N), np.complex64)
         for i, w in enumerate(waves):
-            x[i, :, 40: 40 + w.shape[1]] = w
+            # 1-stream TX reaches both RX antennas (unit SIMO channel)
+            x[i, :, 40: 40 + w.shape[1]] = w if not one_ss else w[0]
         sig_p = float(np.mean([np.mean(np.abs(w) ** 2) for w in waves]))
+        pipe = jrx.rx_pipeline_1ss if one_ss else jrx.rx_pipeline
         pts = []
         for snr in snrs:
-            out = jrx.rx_pipeline(jnp.asarray(_noisy(x, sig_p, snr, rng)),
-                                  mcs, max_psdu=128)
+            out = pipe(jnp.asarray(_noisy(x, sig_p, snr, rng)),
+                       mcs, max_psdu=128)
             fer = 1.0 - float(np.asarray(out["ok"]).sum()) / n
             pts.append((snr, fer, _ber(psdus, out, n)))
-        rows[f"MCS {mcs}"] = pts
+        rows[f"MCS {mcs}" + (" (1ss)" if one_ss else "")] = pts
         _log(f"11n MCS {mcs} done")
     return rows
 
