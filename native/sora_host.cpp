@@ -144,6 +144,78 @@ long sora_ring_read(RxRing* r, int vs, float* out, long n) {
   return avail;
 }
 
+// Assemble `batch` overlapping windows (stride `hop`) straight from the
+// ring into quantized interleaved I/Q — the node's whole host-side feed
+// path (window slicing + AGC scaling + ADC saturation) in ONE pass with
+// no intermediate float buffers.  The overlap region stays in the ring
+// (the reader advances by hop*batch but windows extend window samples),
+// so the Python-side carry buffer disappears.  Returns the absolute
+// sample position of window 0, or -1 if fewer than
+// window + hop*(batch-1) samples are available, or -2 if that span
+// exceeds the ring capacity (caller must fall back).
+static long read_windows_common(RxRing* r, int vs, long window, long hop,
+                                long batch, long* rd_out) {
+  const long cap = r->capacity;
+  long w = r->wr.load(std::memory_order_acquire);
+  long rd = r->rd[vs].load(std::memory_order_relaxed);
+  if (w - rd > cap) {  // overrun: drop to the oldest retained sample
+    r->drops[vs].fetch_add(w - cap - rd);
+    rd = w - cap;
+    r->rd[vs].store(rd, std::memory_order_release);
+  }
+  const long total = window + hop * (batch - 1);
+  if (total > cap) return -2;
+  if (w - rd < total) return -1;
+  *rd_out = rd;
+  return rd;
+}
+
+long sora_ring_read_windows_i16(RxRing* r, int vs, long window, long hop,
+                                long batch, float scale, int16_t* out) {
+  long rd;
+  long rc = read_windows_common(r, vs, window, hop, batch, &rd);
+  if (rc < 0) return rc;
+  const long cap = r->capacity;
+  for (long b = 0; b < batch; ++b) {
+    const long base = rd + b * hop;
+    int16_t* dst = out + 2 * b * window;
+    for (long k = 0; k < window; ++k) {
+      const long idx = (base + k) & (cap - 1);
+      float re = r->buf[2 * idx] * scale;
+      float im = r->buf[2 * idx + 1] * scale;
+      re = re > 32767.f ? 32767.f : (re < -32767.f ? -32767.f : re);
+      im = im > 32767.f ? 32767.f : (im < -32767.f ? -32767.f : im);
+      dst[2 * k] = (int16_t)re;
+      dst[2 * k + 1] = (int16_t)im;
+    }
+  }
+  r->rd[vs].store(rd + hop * batch, std::memory_order_release);
+  return rd;
+}
+
+long sora_ring_read_windows_i8(RxRing* r, int vs, long window, long hop,
+                               long batch, float scale, int8_t* out) {
+  long rd;
+  long rc = read_windows_common(r, vs, window, hop, batch, &rd);
+  if (rc < 0) return rc;
+  const long cap = r->capacity;
+  for (long b = 0; b < batch; ++b) {
+    const long base = rd + b * hop;
+    int8_t* dst = out + 2 * b * window;
+    for (long k = 0; k < window; ++k) {
+      const long idx = (base + k) & (cap - 1);
+      float re = r->buf[2 * idx] * scale;
+      float im = r->buf[2 * idx + 1] * scale;
+      re = re > 127.f ? 127.f : (re < -127.f ? -127.f : re);
+      im = im > 127.f ? 127.f : (im < -127.f ? -127.f : im);
+      dst[2 * k] = (int8_t)re;
+      dst[2 * k + 1] = (int8_t)im;
+    }
+  }
+  r->rd[vs].store(rd + hop * batch, std::memory_order_release);
+  return rd;
+}
+
 long sora_ring_available(RxRing* r, int vs) {
   long w = r->wr.load(std::memory_order_acquire);
   long rd = r->rd[vs].load(std::memory_order_relaxed);

@@ -50,6 +50,14 @@ def load() -> ctypes.CDLL:
         ctypes.c_long]
     lib.sora_ring_available.restype = ctypes.c_long
     lib.sora_ring_available.argtypes = [ctypes.c_void_p, ctypes.c_int]
+    lib.sora_ring_read_windows_i16.restype = ctypes.c_long
+    lib.sora_ring_read_windows_i16.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_float, ctypes.POINTER(ctypes.c_int16)]
+    lib.sora_ring_read_windows_i8.restype = ctypes.c_long
+    lib.sora_ring_read_windows_i8.argtypes = [
+        ctypes.c_void_p, ctypes.c_int, ctypes.c_long, ctypes.c_long,
+        ctypes.c_long, ctypes.c_float, ctypes.POINTER(ctypes.c_int8)]
     lib.sora_ring_drops.restype = ctypes.c_long
     lib.sora_ring_drops.argtypes = [ctypes.c_void_p, ctypes.c_int]
     lib.sora_ring_start_replay.argtypes = [
@@ -109,6 +117,30 @@ class RxRing:
 
     def available(self, vs: int) -> int:
         return self._lib.sora_ring_available(self._h, vs)
+
+    def read_windows(self, vs: int, window: int, hop: int, batch: int,
+                     scale: float = 1.0, dtype=np.int16):
+        """Assemble ``batch`` overlapping windows straight from the ring
+        into quantized interleaved I/Q (the node's feed path — slicing +
+        gain + ADC saturation — as ONE native pass; the overlap stays in
+        the ring, so no carry buffer).  Returns (arr (batch, window, 2),
+        start_position) or None if not enough samples; raises if the
+        span exceeds the ring capacity (caller should fall back)."""
+        if dtype == np.int16:
+            out = np.empty((batch, window, 2), np.int16)
+            start = self._lib.sora_ring_read_windows_i16(
+                self._h, vs, window, hop, batch, scale,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int16)))
+        else:
+            out = np.empty((batch, window, 2), np.int8)
+            start = self._lib.sora_ring_read_windows_i8(
+                self._h, vs, window, hop, batch, scale,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)))
+        if start == -2:
+            raise ValueError("window span exceeds ring capacity")
+        if start < 0:
+            return None
+        return out, int(start)
 
     def drops(self, vs: int) -> int:
         return self._lib.sora_ring_drops(self._h, vs)

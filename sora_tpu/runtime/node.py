@@ -280,6 +280,11 @@ class StreamingNode:
         # quantizer (util.xfer.device_complex16 scale)
         self._agc_gain = 1.0
         self._agc_peak = 0.0                # tracked peak window power
+        # native windowed feed: window slicing + gain + quantization as
+        # one C++ pass (sora_ring_read_windows_*); falls back to the
+        # Python carry path if the span exceeds the ring capacity
+        self._native_feed = all(
+            hasattr(r, "read_windows") for r in self.rings)
         self._backlog_hwm = (self.cfg.backlog_hwm
                              or 8 * self.cfg.batch * self.cfg.window)
         # in-flight decodes: (out, metas, t0, nsamples, det)
@@ -530,6 +535,41 @@ class StreamingNode:
 
     # -- ring consumption ------------------------------------------------------
 
+    def _next_windows_native(self):
+        """Fast feed path: the native ring assembles the overlapping
+        windows AND quantizes them (AGC gain + ADC saturation) in one
+        pass — no Python carry, no float intermediates.  Returns
+        (h int (B[,A], window, 2), metas, gain) or None."""
+        cfg = self.cfg
+        hop = cfg.window - cfg.overlap
+        total = cfg.window + hop * (cfg.batch - 1)
+        # every ring must hold the full span BEFORE any cursor moves, so
+        # multi-antenna streams stay sample-aligned
+        if any(r.available(vs) < total
+               for r, vs in zip(self.rings, self.vss)):
+            return None
+        from sora_tpu.util.xfer import I8_SCALE, I16_SCALE
+
+        gain = self._agc_gain if cfg.agc else 1.0
+        i8 = cfg.wire == "i8"
+        sc = (I8_SCALE if i8 else I16_SCALE) * gain
+        dt = np.int8 if i8 else np.int16
+        arrs, start0 = [], None
+        try:
+            for ring, vs in zip(self.rings, self.vss):
+                arr, start = ring.read_windows(vs, cfg.window, hop,
+                                               cfg.batch, sc, dt)
+                arrs.append(arr)
+                if start0 is None:
+                    start0 = start
+        except ValueError:          # span > ring capacity: fall back
+            self._native_feed = False
+            return None
+        h = np.stack(arrs, axis=1) if cfg.phy == "n" else arrs[0]
+        metas = [start0 + i * hop for i in range(cfg.batch)]
+        self._abs_off = start0 + hop * cfg.batch
+        return h, metas, gain
+
     def _next_windows(self):
         """Assemble up to `batch` overlapping windows from the ring(s).
         Returns (x (B, window) or (B, A, window) complex64, metas) or None
@@ -779,23 +819,37 @@ class StreamingNode:
         role, plus the fetch itself)."""
         self.skip_backlog()
         self._beacon_step()
-        nw = self._next_windows()
+        t0 = time.perf_counter()
+        gain = None
+        if self._native_feed:
+            nw = self._next_windows_native()
+            if nw is not None:
+                x, metas, gain = nw
+        if gain is None and not self._native_feed:
+            nw = self._next_windows()
+            if nw is not None:
+                x, metas = nw
         self._tx_step()
         if nw is None:
             self._gate(block=False)
             self._retire(block=False)
             return False
-        x, metas = nw
-        t0 = time.perf_counter()
-        from sora_tpu.util.xfer import device_complex8, device_complex16
+        from sora_tpu.util.xfer import (device_complex8, device_complex16,
+                                        device_quantized)
 
-        gain = self._agc_gain if self.cfg.agc else 1.0
-        to_dev = (device_complex8 if self.cfg.wire == "i8"
-                  else device_complex16)
-        xd = to_dev(x, scale=gain)
+        if gain is not None:
+            # native feed: windows arrive already quantized + gain-scaled
+            nsamp = x.size // 2
+            xd = device_quantized(x)
+        else:
+            gain = self._agc_gain if self.cfg.agc else 1.0
+            to_dev = (device_complex8 if self.cfg.wire == "i8"
+                      else device_complex16)
+            nsamp = x.size
+            xd = to_dev(x, scale=gain)
         self.stats.windows += self.cfg.batch
         det_f, power_f = self._detect(xd)    # async: futures
-        self._det_pend.append((xd, det_f, power_f, metas, t0, x.size,
+        self._det_pend.append((xd, det_f, power_f, metas, t0, nsamp,
                                gain))
         while len(self._det_pend) > 1:
             self._gate(block=True)
@@ -843,6 +897,14 @@ class StreamingNode:
         quiesce (mac.cpp:237-249), where pinqueue pad() fills the last
         burst (pinqueue.h:133-145)."""
         cfg = self.cfg
+        if self._native_feed:
+            # the native feed keeps sub-batch remnants in the ring (no
+            # carry); pull them out so the padded final batch sees them
+            for a, (ring, vs) in enumerate(zip(self.rings, self.vss)):
+                n = ring.available(vs)
+                if n:
+                    self._carry[a] = np.concatenate(
+                        [self._carry[a], ring.read(vs, n)])
         if any(len(c) > 0 for c in self._carry):
             hop = cfg.window - cfg.overlap
             total = cfg.window + hop * (cfg.batch - 1)
@@ -851,7 +913,11 @@ class StreamingNode:
                 if pad > 0:
                     self._carry[a] = np.concatenate(
                         [self._carry[a], np.zeros(pad, np.complex64)])
-            self.step()
+            native_saved, self._native_feed = self._native_feed, False
+            try:
+                self.step()
+            finally:
+                self._native_feed = native_saved
         while self._det_pend:
             self._gate(block=True)
         while self._pend:

@@ -99,6 +99,16 @@ def _combine_i8(h: jnp.ndarray) -> jnp.ndarray:
     return jax.lax.complex(f[..., 0], f[..., 1])
 
 
+def device_quantized(h: np.ndarray, sharding=None) -> jnp.ndarray:
+    """Pre-quantized (..., 2) int16/int8 interleaved I/Q (e.g. assembled
+    and scaled by the native ring's windowed reader) -> device complex64.
+    The inverse fixed scale (I16_SCALE / I8_SCALE) divides out on
+    device, matching device_complex16/device_complex8."""
+    hd = jax.device_put(h) if sharding is None else jax.device_put(
+        h, sharding)
+    return _combine_i8(hd) if h.dtype == np.int8 else _combine_i16(hd)
+
+
 def device_complex8(x, sharding=None, scale: float = 1.0) -> jnp.ndarray:
     """Host complex array -> device complex64 over an int8 I/Q wire —
     QUARTER the boundary bytes of :func:`device_complex`.  For the live

@@ -7,6 +7,7 @@ import pytest
 
 from sora_tpu.io.dumpfile import load_dump
 from sora_tpu.runtime import native
+from sora_tpu.runtime.native import RxRing
 
 CAPTURE = "/root/reference/kernel/test-data/fsample-6.dmp"
 
@@ -77,3 +78,63 @@ def test_monotonic_ns(lib):
     a = native.monotonic_ns()
     b = native.monotonic_ns()
     assert b >= a
+
+
+def test_ring_read_windows_overlap_and_quantize():
+    """The native windowed reader: overlapping windows assembled straight
+    from the ring with gain + saturation, overlap retained in the ring
+    (no carry), cursor advancing by hop*batch."""
+    from sora_tpu.util.xfer import I16_SCALE
+
+    ring = RxRing(capacity=1 << 16)
+    vs = ring.alloc_vstream()
+    n = 4096
+    x = (np.arange(n) % 97 / 97.0 - 0.5) + 1j * (np.arange(n) % 31 / 31.0)
+    ring.write(x.astype(np.complex64))
+    window, hop, batch = 1024, 768, 4
+    total = window + hop * (batch - 1)
+    assert ring.read_windows(vs, window, hop, batch + 8, 1.0) is None
+    out = ring.read_windows(vs, window, hop, batch, I16_SCALE)
+    assert out is not None
+    arr, start = out
+    assert start == 0 and arr.shape == (batch, window, 2)
+    for b in range(batch):
+        ref = x[b * hop: b * hop + window]
+        got = (arr[b, :, 0] + 1j * arr[b, :, 1]) / I16_SCALE
+        np.testing.assert_allclose(got, ref, atol=1.5 / I16_SCALE)
+    # cursor advanced by hop*batch: the overlap region is re-readable
+    assert ring.available(vs) == n - hop * batch
+    nxt = ring.read_windows(vs, window, hop, 1, I16_SCALE)
+    assert nxt is not None
+    arr2, start2 = nxt
+    assert start2 == hop * batch
+    np.testing.assert_allclose(
+        (arr2[0, :, 0] + 1j * arr2[0, :, 1]) / I16_SCALE,
+        x[hop * batch: hop * batch + window], atol=1.5 / I16_SCALE)
+    ring.close()
+
+
+def test_ring_read_windows_i8_saturates():
+    from sora_tpu.util.xfer import I8_SCALE
+
+    ring = RxRing(capacity=1 << 14)
+    vs = ring.alloc_vstream()
+    x = np.full(2048, 100.0 + 0j, np.complex64)   # way past full scale
+    x[100] = 0.5 + 0.25j
+    ring.write(x)
+    arr, start = ring.read_windows(vs, 1024, 1024, 2, I8_SCALE,
+                                   dtype=np.int8)
+    assert arr.dtype == np.int8
+    assert arr[0, 0, 0] == 127                    # saturated, not wrapped
+    assert arr[0, 100, 0] == int(0.5 * I8_SCALE)
+    ring.close()
+
+
+def test_ring_read_windows_span_over_capacity_raises():
+    import pytest as _pytest
+
+    ring = RxRing(capacity=1 << 12)
+    vs = ring.alloc_vstream()
+    with _pytest.raises(ValueError):
+        ring.read_windows(vs, 1 << 12, 1 << 11, 8, 1.0)
+    ring.close()
