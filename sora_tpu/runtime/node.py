@@ -500,8 +500,14 @@ class StreamingNode:
             decode = lambda xb, mc=int(cfg.mcs), m=cfg.max_psdu: \
                 nrx.rx_pipeline(front(xb), mc, max_psdu=m)
         else:
-            decode = lambda xb, m=cfg.max_psdu: \
-                nrx.rx_pipeline_auto(front(xb), max_psdu=m)
+            # full HT auto: BOTH stream classes decode (MCS 8-15 via the
+            # 2x2 ZF program, MCS 0-7 via the 1-HT-LTF MRC program) and
+            # the per-row winner is picked by which HT-SIG+FCS closed —
+            # the air carries whichever the peer sent
+            def decode(xb, m=cfg.max_psdu):
+                xf = front(xb)
+                return ("n_both", nrx.rx_pipeline_auto(xf, max_psdu=m),
+                        nrx.rx_pipeline_auto_1ss(xf, max_psdu=m))
         # cheap gate on the antenna SUM — the real sync antenna-sums too
         # (phy/dot11n/rx.py synchronize_mimo), so a fade on one antenna
         # cannot gate out a frame the other still carries
@@ -519,9 +525,10 @@ class StreamingNode:
         det, power = self._detect(zd)
         np.asarray(det)
         out = self._decode(zd)
-        if isinstance(out, tuple):                 # 11b paths
-            if out[0] == "b_known":
-                np.asarray(out[1]["ok"])
+        if isinstance(out, tuple):                 # 11b / n_both forms
+            for o in out[1:]:
+                if isinstance(o, dict):
+                    np.asarray(o["ok"])
         else:
             np.asarray(out["ok"])
         for f in getattr(self, "_warm_extra", []):
@@ -929,7 +936,19 @@ class StreamingNode:
         if not block and len(self._pend) < 2:
             return
         out, metas, t0, nsamp, det = self._pend.pop(0)
-        if isinstance(out, tuple):                 # 11b result forms
+        if isinstance(out, tuple) and out[0] == "n_both":
+            # full HT auto: per-row winner between the 2-stream and
+            # 1-stream decodes (exactly one closes its FCS for a real
+            # frame; for idle rows the 2-stream fields stand)
+            h2 = {k: np.asarray(v) for k, v in out[1].items()}
+            h1 = {k: np.asarray(v) for k, v in out[2].items()}
+            use1 = (h1["ok"] == 1) & (h2["ok"] == 0)
+            host = {}
+            for k in h2:
+                a, b = h2[k], h1[k]
+                sel = use1.reshape(use1.shape + (1,) * (a.ndim - 1))
+                host[k] = np.where(sel, b, a)
+        elif isinstance(out, tuple):               # 11b result forms
             if out[0] == "b_known":
                 host = {k: np.asarray(v) for k, v in out[1].items()}
                 host = self._norm_b(host, out[2])

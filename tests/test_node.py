@@ -609,3 +609,49 @@ def test_node_11n_single_stream_mcs(rng):
     assert [p for _, p in node.rx_payloads] == [p[24:-4] for p in psdus]
     for r in rings:
         r.close()
+
+
+def test_node_11n_auto_mixed_stream_classes(rng):
+    """Full HT auto: one batch carrying BOTH a 2-stream (MCS 9) and a
+    single-stream (MCS 3) frame — the node runs both auto programs and
+    picks the per-row winner by which HT-SIG+FCS closed."""
+    from sora_tpu.golden import dot11n_np as gn
+
+    rings = [RxRing(capacity=1 << 20), RxRing(capacity=1 << 20)]
+    cfg = NodeConfig(phy="n", window=4096, batch=2, overlap=2816,
+                     max_psdu=256, addr=ADDR)
+    node = StreamingNode(rings, cfg, tx_sink=TxSink())
+    while True:
+        H2 = (rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+              ) / np.sqrt(2.0)
+        if abs(np.linalg.det(H2)) > 0.3:
+            break
+    while True:
+        h1 = (rng.normal(size=(2, 1)) + 1j * rng.normal(size=(2, 1))
+              ) / np.sqrt(2.0)
+        if np.abs(h1).min() > 0.25:
+            break
+    psdus, ys = [], []
+    for i, (mcs, ch) in enumerate([(9, H2), (3, h1)]):
+        hdr = MacHeader(addr1=ADDR, addr2=PEER, addr3=ADDR,
+                        seq_ctrl=i << 4)
+        psdu = append_fcs(hdr.pack()
+                          + bytes(rng.integers(0, 256, 70,
+                                               dtype=np.uint8)))
+        psdus.append(psdu)
+        ys.append(ch @ gn.modulate(psdu, mcs))
+    for a in range(2):
+        pieces = []
+        for y in ys:
+            pieces.append(np.zeros(900, np.complex64))
+            pieces.append(y[a].astype(np.complex64))
+        pieces.append(np.zeros(2700, np.complex64))
+        x = np.concatenate(pieces)
+        x += (rng.normal(size=len(x)) + 1j * rng.normal(size=len(x))
+              ).astype(np.complex64) * 0.01
+        rings[a].write(x)
+    _drain(rings[0], node)
+    assert node.stats.frame_ok == 2, node.report()
+    assert [p for _, p in node.rx_payloads] == [p[24:-4] for p in psdus]
+    for r in rings:
+        r.close()
