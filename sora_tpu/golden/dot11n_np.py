@@ -71,11 +71,13 @@ def _legacy_symbol(freq_on_legacy_sc: np.ndarray, ant: int) -> np.ndarray:
     return np.concatenate([t[-16:], t])
 
 
-def _ht_symbol(freq_on_ht_sc: np.ndarray, stream: int) -> np.ndarray:
-    """One 80-sample HT-numerology symbol for spatial stream `stream`."""
+def _ht_symbol(freq_on_ht_sc: np.ndarray, stream: int,
+               gi: int = 16) -> np.ndarray:
+    """One (64+gi)-sample HT-numerology symbol for spatial stream
+    `stream` (gi = 16 for the 800 ns guard, 8 for short GI)."""
     f = freq_on_ht_sc * _csd_factor(N.CSD_HT[stream], N.HT_SC_IDX)
     t = N.ht_time_symbol(f) / np.sqrt(2.0)
-    return np.concatenate([t[-16:], t])
+    return np.concatenate([t[-gi:], t])
 
 
 def _legacy_preamble(ant: int) -> np.ndarray:
@@ -135,7 +137,8 @@ def num_symbols(mcs_idx: int, psdu_len: int) -> int:
 
 
 def _modulate_1ss(psdu: bytes, mcs_idx: int,
-                  scrambler_seed: int = 0x5D) -> np.ndarray:
+                  scrambler_seed: int = 0x5D,
+                  short_gi: bool = False) -> np.ndarray:
     """Single-spatial-stream HT TX (MCS 0-7, Table 20-30): one TX chain,
     no CSD, one HT-LTF, full-scale symbols.  -> (1, nsamples)."""
     m = N.MCS1[mcs_idx]
@@ -159,9 +162,9 @@ def _modulate_1ss(psdu: bytes, mcs_idx: int,
         f[(N.HT_PILOT_SC + 28)] = (N.PSI1[(np.arange(4) + k) % 4]
                                    * C.PILOT_POLARITY[(3 + k) % 127])
         sym_freq[k] = f
-    parts = [_preamble_1ss(mcs_idx, length, nsym)]
+    parts = [_preamble_1ss(mcs_idx, length, nsym, short_gi)]
     for k in range(nsym):
-        parts.append(_ht_sym_1ss(sym_freq[k]))
+        parts.append(_ht_sym_1ss(sym_freq[k], gi=8 if short_gi else 16))
     return np.concatenate(parts)[None, :]
 
 
@@ -172,16 +175,17 @@ def _leg_sym_1ss(freq):
     return np.concatenate([t[-16:], t])
 
 
-def _ht_sym_1ss(freq):
+def _ht_sym_1ss(freq, gi: int = 16):
     t = N.ht_time_symbol(freq)
-    return np.concatenate([t[-16:], t])
+    return np.concatenate([t[-gi:], t])
 
 
-def _preamble_1ss(mcs_idx: int, length: int, nsym: int) -> np.ndarray:
+def _preamble_1ss(mcs_idx: int, length: int, nsym: int,
+                  short_gi: bool = False) -> np.ndarray:
     """(720,) single-chain preamble: L-STF/L-LTF/L-SIG/HT-SIG x2/HT-STF/
     one HT-LTF — full scale, no CSD."""
     lsig = _lsig_bits(mcs_idx, length, nsym, n_ltf=1)
-    htsig = N.htsig_bits(mcs_idx, length)
+    htsig = N.htsig_bits(mcs_idx, length, short_gi=short_gi)
     sts = np.tile(C.STS_TIME_PERIOD, 10)
     lts = np.asarray(C.LTS_TIME_SYM)
     parts = [np.concatenate([sts, lts[-32:], lts, lts])]
@@ -198,12 +202,13 @@ def _preamble_1ss(mcs_idx: int, length: int, nsym: int) -> np.ndarray:
     return np.concatenate(parts)
 
 
-def modulate(psdu: bytes, mcs_idx: int, scrambler_seed: int = 0x5D
-             ) -> np.ndarray:
+def modulate(psdu: bytes, mcs_idx: int, scrambler_seed: int = 0x5D,
+             short_gi: bool = False) -> np.ndarray:
     """PSDU -> (nss_tx, nsamples) 20 Msps waveform, one row per TX
-    chain: (2, n) for MCS 8-15, (1, n) for single-stream MCS 0-7."""
+    chain: (2, n) for MCS 8-15, (1, n) for single-stream MCS 0-7.
+    ``short_gi`` uses the 400 ns data-symbol guard (HT-SIG bit 31)."""
     if mcs_idx in N.MCS1:
-        return _modulate_1ss(psdu, mcs_idx, scrambler_seed)
+        return _modulate_1ss(psdu, mcs_idx, scrambler_seed, short_gi)
     m = N.MCS[mcs_idx]
     length = len(psdu)
     nsym = num_symbols(mcs_idx, length)
@@ -238,7 +243,7 @@ def modulate(psdu: bytes, mcs_idx: int, scrambler_seed: int = 0x5D
 
     # --- assemble per-chain waveform -----------------------------------------
     lsig = _lsig_bits(mcs_idx, length, nsym)
-    htsig = N.htsig_bits(mcs_idx, length)
+    htsig = N.htsig_bits(mcs_idx, length, short_gi=short_gi)
     chains = []
     for ant in range(2):
         parts = [_legacy_preamble(ant)]
@@ -256,7 +261,8 @@ def modulate(psdu: bytes, mcs_idx: int, scrambler_seed: int = 0x5D
         for n in range(2):
             parts.append(_ht_symbol(N.P2[ant, n] * N.HTLTF_FREQ, ant))
         for k in range(nsym):
-            parts.append(_ht_symbol(sym_freq[k, ant], ant))
+            parts.append(_ht_symbol(sym_freq[k, ant], ant,
+                                    gi=8 if short_gi else 16))
         chains.append(np.concatenate(parts))
     return np.stack(chains)
 

@@ -243,7 +243,7 @@ def _sharded_11n_fixed(mesh: Mesh, mcs: int, max_psdu: int):
         l1, cf, dt = (wsc(v, bspec) for v in (lts1, cfo, dt))
         sig_eq, xdet, snr_db = nrx.extract_symbols(xd, l1, cf, nsym)
         lsig_ok = nrx.decode_lsig(sig_eq[:, 0])
-        mcs_rx, length, htsig_ok = nrx.decode_htsig(sig_eq[:, 1:])
+        mcs_rx, length, htsig_ok, sgi_rx = nrx.decode_htsig(sig_eq[:, 1:])
         length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
         psdu, fcs_ok = nrx.decode_data(xdet, length, mcs, max_psdu)
         cs_ok = dt >= nrx.CS_DET_THRESHOLD

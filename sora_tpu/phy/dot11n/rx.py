@@ -141,17 +141,20 @@ def _inv2x2(H: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([row0, row1], axis=-2) * inv_det[..., None, None]
 
 
-@partial(jax.jit, static_argnames=("nsym",))
+@partial(jax.jit, static_argnames=("nsym", "short_gi"))
 def extract_symbols(x: jnp.ndarray, lts1: jnp.ndarray, cfo: jnp.ndarray,
-                    nsym: int):
+                    nsym: int, short_gi: bool = False):
     """Front end through ZF detection for SIG + nsym HT data symbols.
 
     x: (B, 2, N).  Returns (sig_eq (B, 3, 48) — L-SIG/HT-SIG1/HT-SIG2
     equalized carriers gain-normalized, xd (B, nsym, 52, 2) ZF-detected
-    per-stream data carriers, snr_db (B,)).
+    per-stream data carriers, snr_db (B,)).  ``short_gi`` reads
+    72-sample data symbols (400 ns guard).
     """
     B, A, Nn = x.shape
-    need = _OFF_DATA + 80 * nsym
+    per = 72 if short_gi else 80
+    gi = per - 64
+    need = _OFF_DATA + per * nsym
     xp = jnp.pad(x, ((0, 0), (0, 0), (0, need)))
 
     def cut(frame, start):
@@ -198,8 +201,8 @@ def extract_symbols(x: jnp.ndarray, lts1: jnp.ndarray, cfo: jnp.ndarray,
     if nsym == 0:
         xd = jnp.zeros((B, 0, 52, 2), dtype=jnp.complex64)
         return sig_eq, xd, snr_db
-    sym = y[:, :, _OFF_DATA: _OFF_DATA + 80 * nsym].reshape(
-        B, A, nsym, 80)[:, :, :, 16:]
+    sym = y[:, :, _OFF_DATA: _OFF_DATA + per * nsym].reshape(
+        B, A, nsym, per)[:, :, :, gi:]
     S = dfft.fft64(sym)                                       # (B,2,nsym,64)
     Sd = jnp.transpose(S[:, :, :, jnp.asarray(N.HT_DATA_BINS)],
                        (0, 2, 3, 1))                          # (B,nsym,52,2)
@@ -262,7 +265,8 @@ def decode_lsig(eq: jnp.ndarray):
 @jax.jit
 def decode_htsig(eq2: jnp.ndarray):
     """(B, 2, 48) HT-SIG1/2 carriers (QBPSK — constellation on the
-    imaginary axis) -> (mcs (B,), length (B,), crc_ok (B,))."""
+    imaginary axis) -> (mcs (B,), length (B,), crc_ok (B,), sgi (B,))
+    where sgi is HT-SIG bit 31 (the short-guard-interval flag)."""
     soft = jnp.imag(eq2).astype(jnp.float32)[:, :, _SIG_PERM]
     hs = soft.reshape(soft.shape[0], 96)
     bits = dvit.decode_auto(hs.reshape(-1, 48, 2), terminated=True,
@@ -274,7 +278,7 @@ def decode_htsig(eq2: jnp.ndarray):
            + jnp.asarray(_CRC8_CONST, jnp.int32)[None]) & 1
     crc_ok = jnp.all(crc == bits[:, 34:42], axis=-1)
     tail_ok = jnp.sum(bits[:, 42:48], axis=-1) == 0
-    return mcs, length, crc_ok & tail_ok
+    return mcs, length, crc_ok & tail_ok, bits[:, 31]
 
 
 # =============================================================================
@@ -361,24 +365,29 @@ def _finish_frame(bits: jnp.ndarray, length: jnp.ndarray, t_steps: int,
 # =============================================================================
 
 
-@partial(jax.jit, static_argnames=("mcs", "max_psdu"))
-def rx_pipeline(x: jnp.ndarray, mcs: int, max_psdu: int = MAX_PSDU):
+@partial(jax.jit, static_argnames=("mcs", "max_psdu", "short_gi"))
+def rx_pipeline(x: jnp.ndarray, mcs: int, max_psdu: int = MAX_PSDU,
+                short_gi: bool = False):
     """Complete batched 2x2 HT RX for a known MCS.
 
     x: (B, 2, N) complex64.  Returns dict with psdu (B, max_psdu) uint8,
     ok/fcs_ok/sig_ok (B,) uint8, mcs/length (B,) int32, snr_db, lts1, cfo.
+    ``short_gi`` decodes 400 ns-guard data symbols and requires HT-SIG
+    bit 31 to agree.
     """
-    nsym_win = max(1, (int(x.shape[-1]) - _OFF_DATA) // 80)
+    per = 72 if short_gi else 80
+    nsym_win = max(1, (int(x.shape[-1]) - _OFF_DATA) // per)
     nsym = min(max_symbols(mcs, max_psdu), nsym_win)
     lts1, cfo, det = synchronize(x)
-    sig_eq, xd, snr_db = extract_symbols(x, lts1, cfo, nsym)
+    sig_eq, xd, snr_db = extract_symbols(x, lts1, cfo, nsym, short_gi)
     lsig_ok = decode_lsig(sig_eq[:, 0])
-    mcs_rx, length, htsig_ok = decode_htsig(sig_eq[:, 1:])
+    mcs_rx, length, htsig_ok, sgi_rx = decode_htsig(sig_eq[:, 1:])
     length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
     psdu, fcs_ok = decode_data(xd, length, mcs, max_psdu)
     sig_ok = lsig_ok & htsig_ok
     cs_ok = det >= CS_DET_THRESHOLD
-    ok = cs_ok & sig_ok & (mcs_rx == mcs) & fcs_ok
+    ok = (cs_ok & sig_ok & (mcs_rx == mcs) & fcs_ok
+          & (sgi_rx == (1 if short_gi else 0)))
     return {"psdu": psdu, "fcs_ok": fcs_ok.astype(jnp.uint8),
             "sig_ok": sig_ok.astype(jnp.uint8), "ok": ok.astype(jnp.uint8),
             "cs_ok": cs_ok.astype(jnp.uint8), "det": det,
@@ -397,13 +406,16 @@ def rx_pipeline(x: jnp.ndarray, mcs: int, max_psdu: int = MAX_PSDU):
 # 2x2 inverse — the same shapes as the legacy-coded SIG symbols.
 
 
-@partial(jax.jit, static_argnames=("nsym",))
+@partial(jax.jit, static_argnames=("nsym", "short_gi"))
 def extract_symbols_1ss(x: jnp.ndarray, lts1: jnp.ndarray,
-                        cfo: jnp.ndarray, nsym: int):
+                        cfo: jnp.ndarray, nsym: int,
+                        short_gi: bool = False):
     """Front end for single-stream HT frames.  x: (B, 2, N).
     Returns (sig_eq (B, 3, 48), xd (B, nsym, 52), snr_db (B,))."""
     B, A, Nn = x.shape
-    need = _OFF_DATA_1SS + 80 * nsym
+    per = 72 if short_gi else 80
+    gi = per - 64
+    need = _OFF_DATA_1SS + per * nsym
     xp = jnp.pad(x, ((0, 0), (0, 0), (0, need)))
 
     def cut(frame, start):
@@ -439,8 +451,8 @@ def extract_symbols_1ss(x: jnp.ndarray, lts1: jnp.ndarray,
     Yl = dfft.fft64(y[:, :, _OFF_HTLTF1 + 16: _OFF_HTLTF1 + 80])
     H = Yl * jnp.asarray(lseq_full)[None, None, :]        # (B, 2, 64)
 
-    sym = y[:, :, _OFF_DATA_1SS: _OFF_DATA_1SS + 80 * nsym].reshape(
-        B, A, nsym, 80)[:, :, :, 16:]
+    sym = y[:, :, _OFF_DATA_1SS: _OFF_DATA_1SS + per * nsym].reshape(
+        B, A, nsym, per)[:, :, :, gi:]
     S = dfft.fft64(sym)                                   # (B,2,nsym,64)
     num = jnp.sum(jnp.conj(H)[:, :, None, :] * S, axis=1)
     den = jnp.sum(jnp.abs(H) ** 2, axis=1)[:, None, :] + 1e-12
@@ -499,21 +511,25 @@ def decode_data_1ss(xd: jnp.ndarray, length: jnp.ndarray, mcs: int,
     return _finish_frame(bits, length, t_steps, max_psdu)
 
 
-@partial(jax.jit, static_argnames=("mcs", "max_psdu"))
-def rx_pipeline_1ss(x: jnp.ndarray, mcs: int, max_psdu: int = MAX_PSDU):
+@partial(jax.jit, static_argnames=("mcs", "max_psdu", "short_gi"))
+def rx_pipeline_1ss(x: jnp.ndarray, mcs: int, max_psdu: int = MAX_PSDU,
+                    short_gi: bool = False):
     """Complete batched single-stream HT RX for a known MCS 0-7.
     x: (B, 2, N) complex64 (2 RX antennas, MRC)."""
-    nsym_win = max(1, (int(x.shape[-1]) - _OFF_DATA_1SS) // 80)
+    per = 72 if short_gi else 80
+    nsym_win = max(1, (int(x.shape[-1]) - _OFF_DATA_1SS) // per)
     nsym = min(max_symbols(mcs, max_psdu), nsym_win)
     lts1, cfo, det = synchronize(x)
-    sig_eq, xd, snr_db = extract_symbols_1ss(x, lts1, cfo, nsym)
+    sig_eq, xd, snr_db = extract_symbols_1ss(x, lts1, cfo, nsym,
+                                             short_gi)
     lsig_ok = decode_lsig(sig_eq[:, 0])
-    mcs_rx, length, htsig_ok = decode_htsig(sig_eq[:, 1:])
+    mcs_rx, length, htsig_ok, sgi_rx = decode_htsig(sig_eq[:, 1:])
     length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
     psdu, fcs_ok = decode_data_1ss(xd, length, mcs, max_psdu)
     sig_ok = lsig_ok & htsig_ok
     cs_ok = det >= CS_DET_THRESHOLD
-    ok = cs_ok & sig_ok & (mcs_rx == mcs) & fcs_ok
+    ok = (cs_ok & sig_ok & (mcs_rx == mcs) & fcs_ok
+          & (sgi_rx == (1 if short_gi else 0)))
     return {"psdu": psdu, "fcs_ok": fcs_ok.astype(jnp.uint8),
             "sig_ok": sig_ok.astype(jnp.uint8), "ok": ok.astype(jnp.uint8),
             "cs_ok": cs_ok.astype(jnp.uint8), "det": det,
@@ -560,9 +576,12 @@ def rx_pipeline_auto_1ss(x: jnp.ndarray, max_psdu: int = MAX_PSDU):
     sig_eq, xd, snr_db = extract_symbols_1ss(x, lts1, cfo, nsym_max)
     B = sig_eq.shape[0]
     lsig_ok = decode_lsig(sig_eq[:, 0])
-    mcs_rx, length, htsig_ok = decode_htsig(sig_eq[:, 1:])
+    mcs_rx, length, htsig_ok, sgi_rx = decode_htsig(sig_eq[:, 1:])
     length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
-    known = (mcs_rx >= _MCS1_LIST[0]) & (mcs_rx <= _MCS1_LIST[-1])
+    # the mixed-MCS program decodes 800 ns-guard symbols; an SGI frame
+    # must not false-accept here (route it to the short_gi pipelines)
+    known = ((mcs_rx >= _MCS1_LIST[0]) & (mcs_rx <= _MCS1_LIST[-1])
+             & (sgi_rx == 0))
     mcs_idx = jnp.clip(mcs_rx, 0, len(_MCS1_LIST) - 1)
 
     soft_cat = jnp.concatenate(
@@ -693,9 +712,10 @@ def auto_tail(sig_eq: jnp.ndarray, xd: jnp.ndarray, det: jnp.ndarray,
                                                              nsym_cap)
     B = sig_eq.shape[0]
     lsig_ok = decode_lsig(sig_eq[:, 0])
-    mcs_rx, length, htsig_ok = decode_htsig(sig_eq[:, 1:])
+    mcs_rx, length, htsig_ok, sgi_rx = decode_htsig(sig_eq[:, 1:])
     length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
-    known = (mcs_rx >= _MCS_LIST[0]) & (mcs_rx <= _MCS_LIST[-1])
+    known = ((mcs_rx >= _MCS_LIST[0]) & (mcs_rx <= _MCS_LIST[-1])
+             & (sgi_rx == 0))
     mcs_idx = jnp.clip(mcs_rx - _MCS_LIST[0], 0, len(_MCS_LIST) - 1)
 
     # demap all modulations per spatial stream, concat per symbol
@@ -776,10 +796,11 @@ def demodulate(x, expect_mcs: int | None = None) -> RxResult:
     if not bool(lsig_ok[0]):
         res.reason = "plcp_header_fail"
         return res
-    mcs_rx, length, htsig_ok = decode_htsig(sig_eq[:, 1:])
+    mcs_rx, length, htsig_ok, sgi_rx = decode_htsig(sig_eq[:, 1:])
     if not bool(htsig_ok.astype(jnp.uint8)[0]):
         res.reason = "htsig_fail"
         return res
+    sgi = bool(int(np.asarray(sgi_rx)[0]))
     mcs, res.length = int(mcs_rx[0]), int(length[0])
     res.mcs = mcs
     if mcs not in N.MCS and mcs not in N.MCS1:
@@ -793,17 +814,18 @@ def demodulate(x, expect_mcs: int | None = None) -> RxResult:
         return res
     one_ss = mcs in N.MCS1
     off_data = _OFF_DATA_1SS if one_ss else _OFF_DATA
+    per = 72 if sgi else 80
     nsym_actual = num_symbols(mcs, res.length)
-    if x.shape[1] < res.start + off_data + 80 * nsym_actual:
+    if x.shape[1] < res.start + off_data + per * nsym_actual:
         res.reason = "truncated"
         return res
     nsym = max_symbols(mcs)
     if one_ss:
-        _, xd, _ = extract_symbols_1ss(xb, lts1, cfo, nsym)
+        _, xd, _ = extract_symbols_1ss(xb, lts1, cfo, nsym, sgi)
         psdu, fcs_ok = decode_data_1ss(
             xd, jnp.asarray([res.length], jnp.int32), mcs)
     else:
-        _, xd, _ = extract_symbols(xb, lts1, cfo, nsym)
+        _, xd, _ = extract_symbols(xb, lts1, cfo, nsym, sgi)
         psdu, fcs_ok = decode_data(
             xd, jnp.asarray([res.length], jnp.int32), mcs)
     res.psdu = bytes(np.asarray(psdu[0])[: res.length])

@@ -33,21 +33,23 @@ def num_symbols(mcs: int, psdu_len: int) -> int:
     return -(-(16 + 8 * psdu_len + 6) // N.mcs_param(mcs).ndbps)
 
 
-def waveform_len(mcs: int, psdu_len: int) -> int:
-    """Samples @20 Msps: preamble(+SIGs) + 80 per data symbol (720 for
-    single-stream MCS 0-7 — one HT-LTF; 800 for 2-stream MCS 8-15)."""
+def waveform_len(mcs: int, psdu_len: int, short_gi: bool = False) -> int:
+    """Samples @20 Msps: preamble(+SIGs) + (64+gi) per data symbol (720
+    preamble for single-stream MCS 0-7 — one HT-LTF; 800 for 2-stream
+    MCS 8-15; gi = 8 with ``short_gi``)."""
     pre = 720 if mcs in N.MCS1 else 800
-    return pre + 80 * num_symbols(mcs, psdu_len)
+    return pre + (72 if short_gi else 80) * num_symbols(mcs, psdu_len)
 
 
 @lru_cache(maxsize=None)
-def _preamble_const(mcs: int, psdu_len: int) -> np.ndarray:
+def _preamble_const(mcs: int, psdu_len: int,
+                    short_gi: bool = False) -> np.ndarray:
     """(2, 800) complex64: everything before the first data symbol."""
     from sora_tpu.golden import dot11n_np as G
 
     nsym = num_symbols(mcs, psdu_len)
     lsig = G._lsig_bits(mcs, psdu_len, nsym)
-    htsig = N.htsig_bits(mcs, psdu_len)
+    htsig = N.htsig_bits(mcs, psdu_len, short_gi=short_gi)
     chains = []
     for ant in range(2):
         parts = [G._legacy_preamble(ant)]
@@ -95,12 +97,13 @@ def _csd_phasor() -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
-def _preamble_const_1ss(mcs: int, psdu_len: int) -> np.ndarray:
+def _preamble_const_1ss(mcs: int, psdu_len: int,
+                        short_gi: bool = False) -> np.ndarray:
     """(720,) complex64 single-chain preamble (golden helper)."""
     from sora_tpu.golden import dot11n_np as G
 
-    return G._preamble_1ss(mcs, psdu_len,
-                           num_symbols(mcs, psdu_len)).astype(np.complex64)
+    return G._preamble_1ss(mcs, psdu_len, num_symbols(mcs, psdu_len),
+                           short_gi).astype(np.complex64)
 
 
 @lru_cache(maxsize=None)
@@ -113,7 +116,8 @@ def _pilot_table_1ss(nsym: int) -> np.ndarray:
 
 
 def _modulate_1ss(psdu: jnp.ndarray, mcs: int, psdu_len: int,
-                  scrambler_seed: int) -> jnp.ndarray:
+                  scrambler_seed: int,
+                  short_gi: bool = False) -> jnp.ndarray:
     """Single-spatial-stream HT TX (MCS 0-7): (B, L) -> (B, 1, nsamp)."""
     m = N.MCS1[mcs]
     B = psdu.shape[0]
@@ -140,23 +144,26 @@ def _modulate_1ss(psdu: jnp.ndarray, mcs: int, psdu_len: int,
     pil = jnp.asarray(_pilot_table_1ss(nsym)).astype(jnp.complex64)
     X = X.at[:, :, jnp.asarray(N.HT_PILOT_BINS)].set(
         jnp.broadcast_to(pil[None], (B, nsym, 4)))
+    gi = 8 if short_gi else 16
     t = dfft.ifft64(X) * np.float32(64.0 / np.sqrt(56.0))
-    syms = jnp.concatenate([t[..., -16:], t], axis=-1)       # GI
-    body = syms.reshape(B, 1, nsym * 80)
+    syms = jnp.concatenate([t[..., -gi:], t], axis=-1)       # GI
+    body = syms.reshape(B, 1, nsym * (64 + gi))
     pre = jnp.broadcast_to(
-        jnp.asarray(_preamble_const_1ss(mcs, psdu_len))[None, None, :],
-        (B, 1, 720))
+        jnp.asarray(_preamble_const_1ss(mcs, psdu_len, short_gi)
+                    )[None, None, :], (B, 1, 720))
     return jnp.concatenate([pre, body], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("mcs", "psdu_len"))
+@partial(jax.jit, static_argnames=("mcs", "psdu_len", "short_gi"))
 def modulate(psdu: jnp.ndarray, mcs: int, psdu_len: int,
-             scrambler_seed: int = 0x5D) -> jnp.ndarray:
+             scrambler_seed: int = 0x5D,
+             short_gi: bool = False) -> jnp.ndarray:
     """(B, psdu_len) uint8 -> (B, nss_tx, nsamp) complex64: one 20 Msps
     waveform per TX chain ((B, 2, n) for MCS 8-15, (B, 1, n) for the
-    single-stream MCS 0-7)."""
+    single-stream MCS 0-7).  ``short_gi`` = 400 ns data-symbol guard."""
     if mcs in N.MCS1:
-        return _modulate_1ss(psdu, mcs, psdu_len, scrambler_seed)
+        return _modulate_1ss(psdu, mcs, psdu_len, scrambler_seed,
+                             short_gi)
     m = N.MCS[mcs]
     B = psdu.shape[0]
     nsym = num_symbols(mcs, psdu_len)
@@ -188,9 +195,11 @@ def modulate(psdu: jnp.ndarray, mcs: int, psdu_len: int,
     X = X.at[:, :, :, jnp.asarray(N.HT_PILOT_BINS)].set(
         jnp.broadcast_to(pil[None], (B, nsym, 2, 4)))
     X = X * jnp.asarray(_csd_phasor())[None, None, :, :]
+    gi = 8 if short_gi else 16
     t = dfft.ifft64(X) * np.float32(64.0 / np.sqrt(56.0) / np.sqrt(2.0))
-    syms = jnp.concatenate([t[..., -16:], t], axis=-1)       # GI
-    body = jnp.swapaxes(syms, 1, 2).reshape(B, 2, nsym * 80)
-    pre = jnp.broadcast_to(jnp.asarray(_preamble_const(mcs, psdu_len))
-                           [None], (B, 2, 800))
+    syms = jnp.concatenate([t[..., -gi:], t], axis=-1)       # GI
+    body = jnp.swapaxes(syms, 1, 2).reshape(B, 2, nsym * (64 + gi))
+    pre = jnp.broadcast_to(
+        jnp.asarray(_preamble_const(mcs, psdu_len, short_gi))[None],
+        (B, 2, 800))
     return jnp.concatenate([pre, body], axis=-1)

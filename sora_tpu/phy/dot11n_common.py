@@ -166,8 +166,10 @@ def crc8_htsig(bits: np.ndarray) -> np.ndarray:
     return np.array([(crc >> (7 - i)) & 1 for i in range(8)], np.uint8)
 
 
-def htsig_bits(mcs: int, length: int) -> np.ndarray:
-    """48-bit HT-SIG for 20 MHz, no STBC/LDPC/SGI/aggregation/ESS."""
+def htsig_bits(mcs: int, length: int,
+               short_gi: bool = False) -> np.ndarray:
+    """48-bit HT-SIG for 20 MHz, no STBC/LDPC/aggregation/ESS; bit 31
+    carries the short-GI flag."""
     b = np.zeros(48, np.uint8)
     for i in range(7):
         b[i] = (mcs >> i) & 1
@@ -177,8 +179,8 @@ def htsig_bits(mcs: int, length: int) -> np.ndarray:
     b[24] = 1        # smoothing
     b[25] = 1        # not sounding
     b[26] = 1        # reserved (one)
-    # b27 aggregation=0, b28-29 STBC=0, b30 FEC=0 (BCC), b31 SGI=0,
-    # b32-33 Ness=0
+    # b27 aggregation=0, b28-29 STBC=0, b30 FEC=0 (BCC), b32-33 Ness=0
+    b[31] = 1 if short_gi else 0
     b[34:42] = crc8_htsig(b[:34])
     return b
 

@@ -222,3 +222,46 @@ def test_1ss_demodulate_dispatch(rng):
     res = jrx.demodulate(x)
     assert res.ok, res.reason
     assert res.mcs == 4 and res.psdu == psdu
+
+
+# =============================================================================
+# Short guard interval (400 ns, HT-SIG bit 31 — beyond the reference)
+# =============================================================================
+
+
+@pytest.mark.parametrize("mcs", [15, 7])
+def test_short_gi_loopback_and_rejection(mcs, rng):
+    """SGI frames (72-sample data symbols) decode through the short_gi
+    pipelines, the 800 ns pipelines reject them (HT-SIG bit mismatch +
+    wrong symbol boundaries), and demodulate routes by the parsed bit."""
+    psdu = fr.build_data_frame(bytes(rng.integers(0, 256, 90,
+                                                  dtype=np.uint8)), seq=1)
+    arr = np.frombuffer(psdu, np.uint8)[None, :]
+    wg = g.modulate(psdu, mcs, short_gi=True)
+    wj = np.asarray(jtx.modulate(jnp.asarray(arr), mcs, len(psdu),
+                                 short_gi=True))
+    np.testing.assert_allclose(wj[0], wg, atol=2e-3)
+    assert wg.shape[1] < g.modulate(psdu, mcs).shape[1]
+    if mcs >= 8:
+        while True:
+            H = (rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+                 ) / np.sqrt(2.0)
+            if abs(np.linalg.det(H)) > 0.3:
+                break
+        y = H @ wg
+        pipe = jrx.rx_pipeline
+    else:
+        y = np.array([[0.8 + 0.3j], [0.4 - 0.6j]]) @ wg
+        pipe = jrx.rx_pipeline_1ss
+    x = np.zeros((1, 2, y.shape[1] + 300), np.complex64)
+    x[0, :, 50: 50 + y.shape[1]] = y
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)
+          ).astype(np.complex64) * 0.005
+    out = pipe(jnp.asarray(x), mcs, max_psdu=256, short_gi=True)
+    assert np.asarray(out["ok"])[0]
+    n = int(np.asarray(out["length"])[0])
+    assert bytes(np.asarray(out["psdu"])[0][:n]) == psdu
+    out2 = pipe(jnp.asarray(x), mcs, max_psdu=256)
+    assert not np.asarray(out2["ok"])[0]
+    res = jrx.demodulate(x[0])
+    assert res.ok and res.mcs == mcs and res.psdu == psdu
