@@ -648,18 +648,20 @@ def auto_tail(eq: jnp.ndarray, det: jnp.ndarray, max_psdu: int,
     symi = jnp.arange(nsym_max)[None, :, None]
     soft_cat = jnp.where(symi < nsym_actual[:, None, None], soft_cat, 0.0)
     # per-rate per-symbol one-hot matmul (MXU) replaces the dynamic
-    # gather; then a one-hot select picks each frame's parsed rate
-    ab_rs = []
-    for ri, m in enumerate(_RATE_LIST):
-        nd = C.RATES[m].ndbps
-        ab_r = jnp.einsum("bsj,jk->bsk", soft_cat[:, : nsyms[ri]],
-                          jnp.asarray(mats[ri]))
-        ab_r = ab_r.reshape(B, nsyms[ri] * nd, 2)
-        ab_rs.append(jnp.pad(
-            ab_r, ((0, 0), (0, t_max - nsyms[ri] * nd), (0, 0))))
+    # gather; the rate select folds INTO each matmul's input (frames of
+    # other rates enter as zero rows) and the results accumulate into
+    # one trellis tensor — no (n_rates, B, T, 2) stack materializes
+    # (~100 MB of HBM traffic at the bench shape; measured +5%)
     onehot = (rate_idx[:, None]
               == jnp.arange(len(_RATE_LIST))[None, :]).astype(jnp.float32)
-    ab = jnp.einsum("br,rbtc->btc", onehot, jnp.stack(ab_rs))
+    ab = jnp.zeros((B, t_max, 2), jnp.float32)
+    for ri, m in enumerate(_RATE_LIST):
+        nd = C.RATES[m].ndbps
+        sel = soft_cat[:, : nsyms[ri]] * onehot[:, ri, None, None]
+        ab_r = jnp.einsum("bsj,jk->bsk", sel,
+                          jnp.asarray(mats[ri])).reshape(
+            B, nsyms[ri] * nd, 2)
+        ab = ab.at[:, : nsyms[ri] * nd, :].add(ab_r)
     bits = dvit.decode_auto(ab, terminated=True)
     psdu, fcs_ok = _finish_frame(bits, length, t_max)
 

@@ -591,17 +591,16 @@ def rx_pipeline_auto_1ss(x: jnp.ndarray, max_psdu: int = MAX_PSDU):
     nsym_actual = (nbits + ndbps - 1) // ndbps
     symi = jnp.arange(nsym_max)[None, :, None]
     soft_cat = jnp.where(symi < nsym_actual[:, None, None], soft_cat, 0.0)
-    ab_rs = []
-    for ri, mc in enumerate(_MCS1_LIST):
-        nd = N.MCS1[mc].ndbps
-        ab_r = jnp.einsum("bsj,jk->bsk", soft_cat[:, : nsyms[ri]],
-                          jnp.asarray(mats[ri]))
-        ab_r = ab_r.reshape(B, nsyms[ri] * nd, 2)
-        ab_rs.append(jnp.pad(
-            ab_r, ((0, 0), (0, t_max - nsyms[ri] * nd), (0, 0))))
     onehot = (mcs_idx[:, None]
               == jnp.arange(len(_MCS1_LIST))[None, :]).astype(jnp.float32)
-    ab = jnp.einsum("br,rbtc->btc", onehot, jnp.stack(ab_rs))
+    ab = jnp.zeros((B, t_max, 2), jnp.float32)
+    for ri, mc in enumerate(_MCS1_LIST):
+        nd = N.MCS1[mc].ndbps
+        sel = soft_cat[:, : nsyms[ri]] * onehot[:, ri, None, None]
+        ab_r = jnp.einsum("bsj,jk->bsk", sel,
+                          jnp.asarray(mats[ri])).reshape(
+            B, nsyms[ri] * nd, 2)
+        ab = ab.at[:, : nsyms[ri] * nd, :].add(ab_r)
     bits = dvit.decode_auto(ab, terminated=True)
     psdu, fcs_ok = _finish_frame(bits, length, t_max, max_psdu)
 
@@ -732,18 +731,18 @@ def auto_tail(sig_eq: jnp.ndarray, xd: jnp.ndarray, det: jnp.ndarray,
     soft_cat = jnp.where(symi < nsym_actual[:, None, None, None],
                          soft_cat, 0.0)
     soft_sym = soft_cat.reshape(B, nsym_max, 2 * _STREAM_W)
-    # per-MCS per-symbol one-hot matmul (MXU) + one-hot MCS select
-    ab_rs = []
-    for ri, mc in enumerate(_MCS_LIST):
-        nd = N.MCS[mc].ndbps
-        ab_r = jnp.einsum("bsj,jk->bsk", soft_sym[:, : nsyms[ri]],
-                          jnp.asarray(mats[ri]))
-        ab_r = ab_r.reshape(B, nsyms[ri] * nd, 2)
-        ab_rs.append(jnp.pad(
-            ab_r, ((0, 0), (0, t_max - nsyms[ri] * nd), (0, 0))))
+    # per-MCS per-symbol one-hot matmul (MXU); the MCS select folds into
+    # each matmul's input and results accumulate (no (8, B, T, 2) stack)
     onehot = (mcs_idx[:, None]
               == jnp.arange(len(_MCS_LIST))[None, :]).astype(jnp.float32)
-    ab = jnp.einsum("br,rbtc->btc", onehot, jnp.stack(ab_rs))
+    ab = jnp.zeros((B, t_max, 2), jnp.float32)
+    for ri, mc in enumerate(_MCS_LIST):
+        nd = N.MCS[mc].ndbps
+        sel = soft_sym[:, : nsyms[ri]] * onehot[:, ri, None, None]
+        ab_r = jnp.einsum("bsj,jk->bsk", sel,
+                          jnp.asarray(mats[ri])).reshape(
+            B, nsyms[ri] * nd, 2)
+        ab = ab.at[:, : nsyms[ri] * nd, :].add(ab_r)
     bits = dvit.decode_auto(ab, terminated=True)
     psdu, fcs_ok = _finish_frame(bits, length, t_max, max_psdu)
 
