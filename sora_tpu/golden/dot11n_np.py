@@ -267,6 +267,49 @@ def modulate(psdu: bytes, mcs_idx: int, scrambler_seed: int = 0x5D,
     return np.stack(chains)
 
 
+def _demod_data_1ss(res, y, mcs_idx, length, per, gi):
+    """Single-spatial-stream data section: (A x 1) channel from the one
+    HT-LTF, MRC combine, PSI1 pilot rotation (the numpy oracle of
+    phy.dot11n.rx.extract_symbols_1ss + decode_data_1ss)."""
+    m = N.MCS1[mcs_idx]
+    nsym = num_symbols(mcs_idx, length)
+    ltf0 = 128 + 80 * 3 + 80
+    data0 = ltf0 + 80                        # one HT-LTF
+    if y.shape[1] < data0 + per * nsym:
+        res.reason = "truncated"
+        return res
+    Y1 = _fft_sym(y, ltf0)                                # (A, 64)
+    lseq = np.where(N.HTLTF_FREQ == 0, 1.0, N.HTLTF_FREQ)
+    Hs = np.zeros((y.shape[0], 64), np.complex128)
+    Hs[:, N.HT_OCC_BINS] = Y1[:, N.HT_OCC_BINS] / lseq[None, :]
+    perm = N.ht_interleaver_permutation(m.nbpsc, 0)
+    all_soft = np.zeros(nsym * m.ncbpss)
+    den = (np.abs(Hs) ** 2).sum(0) + 1e-12
+    for k in range(nsym):
+        S = _fft_sym(y, data0 + per * k, gi)
+        E = (np.conj(Hs) * S).sum(0) / den
+        xp = E[N.HT_PILOT_BINS]
+        pol = C.PILOT_POLARITY[(3 + k) % 127]
+        expect = N.PSI1[(np.arange(4) + k) % 4] * pol
+        ph = np.angle(np.sum(xp * expect))
+        xd = E[N.HT_DATA_BINS] * np.exp(-1j * ph)
+        sm = C.demap_soft(xd, m.modulation).reshape(-1)
+        all_soft[k * m.ncbpss: (k + 1) * m.ncbpss] = sm[perm]
+
+    bits = viterbi_decode(depuncture(all_soft, m.num, m.den))
+    from sora_tpu.golden.dot11a_np import _seed_from_prefix
+    seed = _seed_from_prefix(bits[:7])
+    desc = bits ^ C.scrambler_sequence(len(bits), seed)
+    psdu = np.packbits(desc[16: 16 + 8 * length],
+                       bitorder="little").tobytes()
+    res.psdu = psdu
+    res.fcs_ok = len(psdu) >= 4 and fcs32(psdu[:-4]) == int.from_bytes(
+        psdu[-4:], "little")
+    res.ok = res.fcs_ok
+    res.reason = "frame_ok" if res.ok else "crc32_fail"
+    return res
+
+
 # =============================================================================
 # Receiver
 # =============================================================================
@@ -310,15 +353,17 @@ def sync(x: np.ndarray, search: int = 4000):
     return int(np.argmax(c2)), cfo
 
 
-def _fft_sym(y: np.ndarray, start: int) -> np.ndarray:
+def _fft_sym(y: np.ndarray, start: int, gi: int = 16) -> np.ndarray:
     """(ants, 64) FFT of the symbol whose GI starts at `start`."""
-    return np.fft.fft(y[:, start + 16: start + 80], axis=1)
+    return np.fft.fft(y[:, start + gi: start + gi + 64], axis=1)
 
 
 def demodulate(x: np.ndarray, expect_mcs: int | None = None) -> RxResult:
-    """Full HT 2x2 frame RX; x: (2, nsamples) at 20 Msps."""
+    """Full HT frame RX; x: (n_rx_ant, nsamples) at 20 Msps.  Handles
+    2-stream MCS 8-15 (2x2 ZF), single-stream MCS 0-7 (MRC over the RX
+    antennas), and the short guard interval, routed by HT-SIG."""
     res = RxResult()
-    if x.ndim != 2 or x.shape[0] != 2 or x.shape[1] < 900:
+    if x.ndim != 2 or x.shape[0] not in (1, 2) or x.shape[1] < 900:
         return res
     lts1, cfo = sync(x)
     res.start, res.cfo = lts1, cfo
@@ -336,7 +381,7 @@ def demodulate(x: np.ndarray, expect_mcs: int | None = None) -> RxResult:
     Xk = np.zeros(64)
     Xk[C.OCC_BINS] = C.LTS_FREQ
     occ = Xk != 0
-    Hleg = np.zeros((2, 64), np.complex128)
+    Hleg = np.zeros((x.shape[0], 64), np.complex128)
     Hleg[:, occ] = L[:, occ] / Xk[occ][None, :]
 
     def mrc_equalize(start: int, pol_idx: int) -> np.ndarray:
@@ -367,17 +412,22 @@ def demodulate(x: np.ndarray, expect_mcs: int | None = None) -> RxResult:
     hs = np.concatenate(softs)
     htsig = viterbi_decode(np.stack([hs[0::2], hs[1::2]], -1))
     mcs_idx, length, crc_ok = N.parse_htsig(htsig)
-    if not crc_ok or mcs_idx not in N.MCS:
+    if not crc_ok or (mcs_idx not in N.MCS and mcs_idx not in N.MCS1):
         res.reason = "htsig_fail"
         return res
     res.mcs, res.length = mcs_idx, length
     if expect_mcs is not None and mcs_idx != expect_mcs:
         res.reason = "unexpected_mcs"
         return res
+    sgi = bool(htsig[31])
+    per = 72 if sgi else 80
+    gi = per - 64
+    if mcs_idx in N.MCS1:
+        return _demod_data_1ss(res, y, mcs_idx, length, per, gi)
     m = N.MCS[mcs_idx]
     nsym = num_symbols(mcs_idx, length)
     data0 = 128 + 80 * 3 + 80 + 160          # L-SIG+HT-SIG(2)+HT-STF+2 LTF
-    if y.shape[1] < data0 + 80 * nsym:
+    if y.shape[1] < data0 + per * nsym:
         res.reason = "truncated"
         return res
 
@@ -403,7 +453,7 @@ def demodulate(x: np.ndarray, expect_mcs: int | None = None) -> RxResult:
     sp = N.stream_parse_indices(2 * m.ncbpss, m.nbpsc)
     all_soft = np.zeros(nsym * 2 * m.ncbpss)
     for k in range(nsym):
-        S = _fft_sym(y, data0 + 80 * k)
+        S = _fft_sym(y, data0 + per * k, gi)
         xd = np.linalg.solve(Hd, S[:, N.HT_DATA_BINS].T[:, :, None])[..., 0]
         xp = np.linalg.solve(Hp, S[:, N.HT_PILOT_BINS].T[:, :, None])[..., 0]
         pol = C.PILOT_POLARITY[(3 + k) % 127]

@@ -102,3 +102,36 @@ def test_truncated(rng):
     assert not res.ok
     assert res.reason in ("truncated", "htsig_fail", "plcp_header_fail",
                           "no_frame")
+
+
+def test_golden_1ss_and_sgi_roundtrip(rng):
+    """Golden oracle handles single-stream MCS 0-7 (MRC over RX
+    antennas, even a single one) and the short guard interval, routed
+    by the parsed HT-SIG."""
+    psdu = fr.build_data_frame(bytes(rng.integers(0, 256, 70,
+                                                  dtype=np.uint8)), seq=7)
+    h = np.array([[0.9 + 0.2j], [0.4 - 0.7j]])
+    for sgi in (False, True):
+        for mcs in (2, 6):
+            y = h @ g.modulate(psdu, mcs, short_gi=sgi)
+            x = np.zeros((2, y.shape[1] + 200), np.complex128)
+            x[:, 40: 40 + y.shape[1]] = y
+            x += (rng.normal(size=x.shape)
+                  + 1j * rng.normal(size=x.shape)) * 0.005
+            res = g.demodulate(x)
+            assert res.ok and res.mcs == mcs, (mcs, sgi, res.reason)
+            assert res.psdu == psdu
+    # 2-stream short GI
+    H = np.array([[1.0, 0.3 + 0.4j], [0.2 - 0.5j, 0.9]])
+    y = H @ g.modulate(psdu, 12, short_gi=True)
+    x = np.zeros((2, y.shape[1] + 200), np.complex128)
+    x[:, 40: 40 + y.shape[1]] = y
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)) * 0.005
+    res = g.demodulate(x)
+    assert res.ok and res.mcs == 12 and res.psdu == psdu
+    # a single RX antenna suffices for the single-stream set
+    w = g.modulate(psdu, 4)
+    res1 = g.demodulate(np.asarray(w) + (rng.normal(size=w.shape)
+                                         + 1j * rng.normal(size=w.shape)
+                                         ) * 0.004)
+    assert res1.ok and res1.psdu == psdu
