@@ -655,3 +655,54 @@ def test_node_11n_auto_mixed_stream_classes(rng):
     assert [p for _, p in node.rx_payloads] == [p[24:-4] for p in psdus]
     for r in rings:
         r.close()
+
+
+def test_node_reconfigure_across_stream_classes(rng):
+    """Live reconfigure from a 2-stream MCS to a single-stream MCS swaps
+    in the 1ss program from the table (process_kb analogue across the
+    stream classes)."""
+    from sora_tpu.golden import dot11n_np as gn
+
+    rings = [RxRing(capacity=1 << 20), RxRing(capacity=1 << 20)]
+    cfg = NodeConfig(phy="n", window=4096, batch=2, overlap=2816,
+                     max_psdu=256, addr=ADDR, mcs=9)
+    node = StreamingNode(rings, cfg, tx_sink=TxSink())
+
+    def send_frames(mcs, ch, seq0):
+        psdus = []
+        pieces = [[], []]
+        for i in range(2):
+            hdr = MacHeader(addr1=ADDR, addr2=PEER, addr3=ADDR,
+                            seq_ctrl=(seq0 + i) << 4)
+            psdu = append_fcs(hdr.pack()
+                              + bytes(rng.integers(0, 256, 70,
+                                                   dtype=np.uint8)))
+            psdus.append(psdu)
+            y = ch @ gn.modulate(psdu, mcs)
+            for a in range(2):
+                pieces[a].append(np.zeros(900, np.complex64))
+                pieces[a].append(y[a].astype(np.complex64))
+        for a in range(2):
+            pieces[a].append(np.zeros(2700, np.complex64))
+            x = np.concatenate(pieces[a])
+            x += (rng.normal(size=len(x)) + 1j * rng.normal(size=len(x))
+                  ).astype(np.complex64) * 0.01
+            rings[a].write(x)
+        return psdus
+
+    while True:
+        H2 = (rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+              ) / np.sqrt(2.0)
+        if abs(np.linalg.det(H2)) > 0.3:
+            break
+    send_frames(9, H2, 0)
+    _drain(rings[0], node)
+    assert node.stats.frame_ok == 2, node.report()
+
+    node.reconfigure(mcs=3)
+    h1 = np.array([[0.9 + 0.2j], [0.4 - 0.7j]])
+    send_frames(3, h1, 4)
+    _drain(rings[0], node)
+    assert node.stats.frame_ok == 4, node.report()
+    for r in rings:
+        r.close()
