@@ -611,7 +611,8 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
     else:
         lts1, cfo, det = synchronize(x)
     eq, snr_db = extract_symbols(x, lts1, cfo, nsym_max)
-    out = auto_tail(eq, det, max_psdu, nsym_win, det_threshold)
+    out = auto_tail(eq, det, max_psdu, nsym_win, det_threshold,
+                    lts1=lts1, n_samples=int(x.shape[1]))
     out.update({"snr_db": snr_db, "lts1": lts1, "cfo": cfo})
     if src is not None:
         out["src"] = src
@@ -619,9 +620,10 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
 
 
 @partial(jax.jit, static_argnames=("max_psdu", "nsym_cap",
-                                   "det_threshold"))
+                                   "det_threshold", "n_samples"))
 def auto_tail(eq: jnp.ndarray, det: jnp.ndarray, max_psdu: int,
-              nsym_cap: int, det_threshold: float = CS_DET_THRESHOLD):
+              nsym_cap: int, det_threshold: float = CS_DET_THRESHOLD,
+              lts1: jnp.ndarray | None = None, n_samples: int = 0):
     """SIGNAL parse + mixed-rate data decode from equalized carriers —
     the shared back half of :func:`rx_pipeline_auto`, also driven
     batch-parallel by the sharded pipeline (parallel.shard).
@@ -668,10 +670,17 @@ def auto_tail(eq: jnp.ndarray, det: jnp.ndarray, max_psdu: int,
     cs_ok = det >= det_threshold
     ok = cs_ok & sig_ok & known & fcs_ok
     mbps = jnp.asarray(np.array(_RATE_LIST, np.int32))[rate_idx]
-    return {"psdu": psdu, "fcs_ok": fcs_ok.astype(jnp.uint8),
-            "sig_ok": sig_ok.astype(jnp.uint8), "ok": ok.astype(jnp.uint8),
-            "cs_ok": cs_ok.astype(jnp.uint8), "det": det,
-            "rate_mbps": mbps, "length": length}
+    out = {"psdu": psdu, "fcs_ok": fcs_ok.astype(jnp.uint8),
+           "sig_ok": sig_ok.astype(jnp.uint8), "ok": ok.astype(jnp.uint8),
+           "cs_ok": cs_ok.astype(jnp.uint8), "det": det,
+           "rate_mbps": mbps, "length": length}
+    if lts1 is not None and n_samples > 0:
+        # frame extends past the window end: it cannot FCS here but WILL
+        # decode from the next overlapping window — boundary accounting,
+        # not a channel error (the stream-based reference never truncates)
+        out["truncated"] = (lts1 + 128 + 80 * (nsym_actual + 1)
+                            > n_samples).astype(jnp.uint8)
+    return out
 
 
 # =============================================================================
@@ -710,14 +719,18 @@ def rx_pipeline(x: jnp.ndarray, rate_mbps: int, max_psdu: int = MAX_PSDU,
     eq, snr_db = extract_symbols(x, lts1, cfo, nsym)
     rate_bits, length, sig_ok = decode_signal(eq[:, 0, :])
     length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
-    psdu, fcs_ok, _ = decode_data(eq[:, 1:, :], length, rate_mbps)
+    psdu, fcs_ok, nbits = decode_data(eq[:, 1:, :], length, rate_mbps)
     cs_ok = det > CS_DET_THRESHOLD
     ok = cs_ok & sig_ok & (rate_bits == rate.rate_bits) & fcs_ok
+    nsym_actual = (nbits + rate.ndbps - 1) // rate.ndbps
+    truncated = (lts1 + 128 + 80 * (nsym_actual + 1)
+                 > int(x.shape[1])).astype(jnp.uint8)
     # booleans leave the device as uint8: the axon backend cannot
     # transfer bool arrays to the host
     return {"psdu": psdu, "fcs_ok": fcs_ok.astype(jnp.uint8),
             "sig_ok": sig_ok.astype(jnp.uint8), "ok": ok.astype(jnp.uint8),
             "cs_ok": cs_ok.astype(jnp.uint8), "det": det,
+            "truncated": truncated,
             "length": length, "snr_db": snr_db, "lts1": lts1, "cfo": cfo}
 
 

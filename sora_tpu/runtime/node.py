@@ -184,6 +184,8 @@ class ErrStats:
     frame_ok: int = 0
     plcp_fail: int = 0
     crc_fail: int = 0
+    truncated: int = 0            # frame runs past the window end; it
+    # decodes from the next overlapping window (boundary accounting)
     dup: int = 0
     not_for_us: int = 0
     acks_tx: int = 0
@@ -210,6 +212,7 @@ class ErrStats:
                  f"{self.dup:8d}",
                  f" plcp_fail    {self.plcp_fail:8d}   crc_fail   "
                  f"{self.crc_fail:8d}",
+                 f" truncated    {self.truncated:8d}",
                  f" not_for_us   {self.not_for_us:8d}   acks_tx    "
                  f"{self.acks_tx:8d}",
                  f" backlog_drop {self.backlog_dropped:8d}",
@@ -1003,11 +1006,14 @@ class StreamingNode:
             else:
                 self.stats.cs_timeout += 1
         anchor = out.get("pos", out.get("lts1"))
+        trunc = out.get("truncated")
         for i in range(nrows):
             if not out["ok"][i]:
                 if cs_ok[i]:
                     if not out["sig_ok"][i]:
                         self.stats.plcp_fail += 1
+                    elif trunc is not None and trunc[i]:
+                        self.stats.truncated += 1
                     else:
                         self.stats.crc_fail += 1
                 continue
