@@ -731,9 +731,9 @@ class StreamingNode:
         wave = self.cache.get(psdu, rate)               # pre-staged hit
         self.tx.fire(wave)
         self.stats.tx_data += 1
-        if dst == b"\xff" * 6:                          # broadcast: no ACK
-            self._txq.popleft()
-            self._cw = CW_MIN
+        if dst[0] & 1:        # group-addressed (broadcast/multicast):
+            self._txq.popleft()                  # never ACKed (802.11
+            self._cw = CW_MIN                    # group-address rule)
             self._tx_state = "idle"
             return
         self._tx_state = "wait_ack"
@@ -1058,7 +1058,9 @@ class StreamingNode:
             self.stats.crc_fail += 1
             return
         hdr = MacHeader.unpack(psdu[:24])
-        wants_us = hdr.addr1 in (cfg.addr, b"\xff" * 6)
+        # group-addressed (broadcast/multicast) frames are for everyone
+        # and are never ACKed; only exact-unicast frames get the ACK
+        wants_us = hdr.addr1 == cfg.addr or bool(hdr.addr1[0] & 1)
         if not (wants_us or cfg.promiscuous):
             self.stats.not_for_us += 1
             return
