@@ -185,6 +185,11 @@ def decode_auto(soft_ab: jnp.ndarray, terminated: bool = True,
         from sora_tpu.ops import viterbi_pallas as vp
         T = soft_ab.shape[-2]
         if blockwise and T > 1024:
+            # long streams amortize the overlap better with 1024-bit
+            # blocks (89% vs 80% useful steps; measured ~+15% on v5e)
+            if T >= 4096:
+                return vp.decode_blocks(soft_ab, block=1024, overlap=64,
+                                        bt=768, terminated=terminated)
             return vp.decode_blocks(soft_ab, block=512, overlap=64,
                                     terminated=terminated)
         block = -(-T // 8) * 8
