@@ -559,11 +559,13 @@ def _auto_tables(max_psdu: int, nsym_cap: int = 1 << 30):
 
 
 @partial(jax.jit, static_argnames=("max_psdu", "input_rate", "n_frames",
-                                   "n_decode", "det_threshold"))
+                                   "n_decode", "det_threshold",
+                                   "min_rate_mbps"))
 def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
                      input_rate: str = "20m", n_frames: int = 1,
                      n_decode: int = 0,
-                     det_threshold: float = CS_DET_THRESHOLD):
+                     det_threshold: float = CS_DET_THRESHOLD,
+                     min_rate_mbps: int = 6):
     """Complete batched RX with per-frame runtime rate dispatch: a batch
     mixing all eight 802.11a rates decodes in ONE jit program.
 
@@ -583,6 +585,13 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
     row b*n_frames + k each slot came from); a batch holding more real
     frames than ``n_decode`` drops the weakest-det surplus.
 
+    ``min_rate_mbps`` declares the slowest rate actually expected on
+    the air (NodeConfig.min_rate_mbps): the per-rate symbol tables are
+    capped at that rate's max_psdu airtime, so a batch does not pay the
+    6 Mbps worst-case extract/demap (~500 symbols) when the traffic is
+    all 24-54 Mbps.  Frames at a slower rate AND longer than the cap
+    truncate (crc_fail); shorter ones still decode.
+
     x: (B, N) complex64 streams (raw 40 Msps with ``input_rate="40m"``).
     Returns the rx_pipeline dict plus rate_mbps int32 per row.
     """
@@ -595,8 +604,10 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
     # anchors sit >= 192 in, so this overestimates by <= 3 symbols —
     # harmless: the surplus symbols are erased by the length mask.
     nsym_win = max(1, (int(x.shape[1]) - 208) // 80)
-    mats, nsyms, ndbps_tab, nsym_max, t_max = _auto_tables(max_psdu,
-                                                           nsym_win)
+    mr = max([r for r in _RATE_LIST if r <= min_rate_mbps] or [6])
+    nsym_air = max_symbols(C.RATES[mr], max_psdu)
+    mats, nsyms, ndbps_tab, nsym_max, t_max = _auto_tables(
+        max_psdu, min(nsym_win, nsym_air))
     src = None
     if n_frames > 1:
         lts1, cfo, det = synchronize_multi(x, n_frames, det_threshold)
@@ -611,8 +622,8 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
     else:
         lts1, cfo, det = synchronize(x)
     eq, snr_db = extract_symbols(x, lts1, cfo, nsym_max)
-    out = auto_tail(eq, det, max_psdu, nsym_win, det_threshold,
-                    lts1=lts1, n_samples=int(x.shape[1]))
+    out = auto_tail(eq, det, max_psdu, min(nsym_win, nsym_air),
+                    det_threshold, lts1=lts1, n_samples=int(x.shape[1]))
     out.update({"snr_db": snr_db, "lts1": lts1, "cfo": cfo})
     if src is not None:
         out["src"] = src

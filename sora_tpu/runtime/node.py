@@ -419,9 +419,10 @@ class StreamingNode:
                   else 0)
             decode = lambda xb, m=cfg.max_psdu, ir=cfg.input_rate, \
                 k=cfg.max_frames_per_window, nd=nd, \
+                mr=int(cfg.min_rate_mbps), \
                 dt=float(cfg.detect_threshold): arx.rx_pipeline_auto(
                     xb, max_psdu=m, input_rate=ir, n_frames=k,
-                    n_decode=nd, det_threshold=dt)
+                    n_decode=nd, det_threshold=dt, min_rate_mbps=mr)
         else:
             decode = lambda xb, r=int(cfg.rate_mbps), m=cfg.max_psdu, \
                 ir=cfg.input_rate: arx.rx_pipeline(

@@ -1,0 +1,274 @@
+"""Sustained real-time demonstration on the device-resident air.
+
+The reference's defining claim is a live node whose processing cost /
+signal duration stays < 1.0 at 20 Msps (MACStopwatch.h:37-60).  The
+round-4 node could not show that ON THIS HARNESS because the axon
+tunnel (~45 MB/s) cannot carry the 20 Msps I/Q stream; the chip itself
+decodes it ~8-16x faster than real time.  Here the air lives in device
+HBM (runtime/device_air.py) — only TX descriptors go up and decoded
+headers come down — so the whole live loop runs at the chip's speed and
+the wall-clock ratio is measured honestly end to end.
+
+Modes:
+  rx     (default) saturated 54 Mbps RX soak: back-to-back 1492-byte
+         frames at 20 Msps, every scheduled frame must be decoded and
+         position-matched; >= 60 s of air.
+  convo  two-node conversation: A streams sequenced data frames to B,
+         B block-acks every round, retries close the loop; both nodes'
+         receivers run per round (independent noise).  The MAC round
+         trip is one air batch (~86 ms) — the batched analogue of the
+         reference's SIFS loop.
+
+Usage: python tools/realtime_soak.py [--mode rx|convo] [--seconds 62]
+       [--depth 6] [--json out.json]
+
+Prints per-5s progress to stderr and a one-line JSON summary to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from collections import deque
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SPS = 20e6
+
+
+def make_rx_soak_air(seed: int = 7):
+    """The canonical saturated-soak air: 64 cached 1492-byte 54 Mbps
+    frames, 64x32768-sample windows, overlap 6144.  bench.py uses the
+    SAME constructor so the driver's bench hits a warm compile cache."""
+    from sora_tpu.golden import dot11a_np as g
+    from sora_tpu.mac import frame as fr
+    from sora_tpu.runtime.device_air import DeviceAir
+
+    rng = np.random.default_rng(seed)
+    psdus = [fr.build_data_frame(
+        bytes(rng.integers(0, 256, 1464, dtype=np.uint8)), seq=i)
+        for i in range(64)]
+    waves = [g.modulate(p, 54).astype(np.complex64) for p in psdus]
+    span = max(len(w) for w in waves)
+    air = DeviceAir(waves, window=32768, batch=64, overlap=6144,
+                    n_frames=7, n_decode=0, slots=384, noise_rms=0.02,
+                    max_psdu=1504, hdr_bytes=64, min_rate_mbps=54,
+                    seed=seed)
+    assert span <= air.overlap, (span, air.overlap)
+    return air, psdus, span
+
+
+def run_rx_soak(seconds: float, depth: int, log) -> dict:
+    air, psdus, span = make_rx_soak_air()
+    gap = 640                            # 32 us inter-frame spacing
+    period = span + gap
+    adv = air.advance
+    air_per_round = adv / SPS
+    n_rounds = int(np.ceil(seconds / air_per_round))
+    log(f"rx soak: {n_rounds} rounds x {air_per_round*1e3:.1f} ms air "
+        f"({adv} samples), frame span {span}, period {period}, "
+        f"~{adv//period} frames/round")
+
+    # warm: two rounds (compile + caches), not timed
+    t0 = time.perf_counter()
+    for _ in range(2):
+        outs, _ = air.step([])
+    np.asarray(outs[0]["ok"])
+    log(f"  warm-up (compile+first): {time.perf_counter()-t0:.1f}s")
+
+    sched: deque = deque()               # global frame offsets pending
+    next_off = air.base + 1000
+    inflight: deque = deque()
+    delivered = 0
+    scheduled = 0
+    ok_rows = 0
+    t_report = time.perf_counter() + 5.0
+    t_start = time.perf_counter()
+    base_start = air.base
+
+    def drain_one():
+        import jax
+        nonlocal delivered, ok_rows
+        outs, base, expect = inflight.popleft()
+        o = outs[0]
+        ok, lts1 = jax.device_get((o["ok"], o["lts1"]))
+        ok = ok.astype(bool)
+        pos = base + (np.arange(len(ok)) // air.n_frames) * air.hop + lts1
+        ok_rows += int(ok.sum())
+        okpos = np.sort(pos[ok])
+        for off in expect:
+            i = np.searchsorted(okpos, off + 192)
+            hit = False
+            for j in (i - 1, i):
+                if 0 <= j < len(okpos) and abs(okpos[j] - (off + 192)) < 600:
+                    hit = True
+            delivered += int(hit)
+
+    for r in range(n_rounds):
+        base = air.base
+        tx = []
+        expect = []
+        while next_off < base + adv:     # tails spill into the carry
+            e = (next_off // period) % 64
+            tx.append((int(e), int(next_off - base), 1.0))
+            expect.append(next_off)
+            next_off += period
+        scheduled += len(expect)
+        outs, b = air.step(tx)
+        inflight.append((outs, b, expect))
+        while len(inflight) > depth:
+            drain_one()
+        now = time.perf_counter()
+        if now > t_report:
+            air_t = (air.base - base_start) / SPS
+            log(f"  [{now-t_start:6.1f}s wall] {air_t:6.1f}s air "
+                f"dispatched, ratio so far "
+                f"{(now-t_start)/max(air_t, 1e-9):.3f}, "
+                f"delivered {delivered}/{scheduled - sum(len(e) for _, _, e in inflight)}")
+            t_report = now + 5.0
+    while inflight:
+        drain_one()
+    wall = time.perf_counter() - t_start
+    air_t = (air.base - base_start) / SPS
+    ratio = wall / air_t
+    log(f"rx soak done: {air_t:.1f}s of 20 Msps air in {wall:.1f}s wall "
+        f"-> ratio {ratio:.3f}; delivered {delivered}/{scheduled} "
+        f"({ok_rows} ok candidate rows)")
+    assert delivered == scheduled, (delivered, scheduled)
+    return {"mode": "rx", "air_seconds": round(air_t, 2),
+            "wall_seconds": round(wall, 2), "ratio": round(ratio, 4),
+            "frames_delivered": delivered, "frames_scheduled": scheduled,
+            "msps": round(air_t * 20.0 / wall, 2),
+            "decoded_mbps": round(delivered * 1492 * 8 / wall / 1e6, 1)}
+
+
+def run_convo(seconds: float, depth: int, log) -> dict:
+    from sora_tpu.runtime.device_air import BatchMac, DeviceAir
+
+    def pad_psdu(p, n):
+        # same SIGNAL length class for data and block-ack: pad the MPDU
+        # before the FCS so the frame stays FCS-valid at full length
+        from sora_tpu.mac import frame as fr
+        return fr.append_fcs(p[:-4] + bytes(n - len(p)))
+
+    depth = min(depth, 2)           # ack latency is ~2*(depth+1) rounds
+    A, B = b"\x02SORAA", b"\x02SORAB"
+    payload = 1464
+    E = 1024                        # rotating data cache entries
+    ma = BatchMac(A, B, n_seq=1 << 30, payload=payload,
+                  timeout_rounds=2 * depth + 4, window_frames=E)
+    mb = BatchMac(B, A, n_seq=0, payload=payload)
+    air = DeviceAir([np.zeros(4992, np.complex64)], n_entries=E + 1,
+                    window=32768, batch=64, overlap=6144, n_frames=7,
+                    n_decode=0, slots=384, noise_rms=0.02, max_psdu=1504,
+                    hdr_bytes=64, min_rate_mbps=54, n_receivers=2,
+                    pad_len=4992, seed=11)
+    span = 4880
+    gap = 640
+    period = span + gap
+    per_round = 120                 # one 128-frame staging call/round
+    adv = air.advance
+    n_rounds = int(np.ceil(seconds / (adv / SPS)))
+    log(f"convo: {n_rounds} rounds, {per_round} data frames/round "
+        f"+ 1 block-ack, round air {adv/SPS*1e3:.1f} ms, depth {depth}")
+
+    t0 = time.perf_counter()
+    outs, _ = air.step([])
+    np.asarray(outs[0]["ok"])
+    np.asarray(outs[1]["ok"])
+    air.stage_tx([0], np.frombuffer(ma.data_psdu(0), np.uint8)[None, :], 54)
+    log(f"  warm-up (compile+first): {time.perf_counter()-t0:.1f}s")
+
+    staged: set = set()
+    inflight: deque = deque()
+    t_start = time.perf_counter()
+    base_start = air.base
+    t_report = time.perf_counter() + 5.0
+
+    def drain_one():
+        import jax
+        outs, base = inflight.popleft()
+        ha, oa, hb, ob = jax.device_get((outs[0]["hdr"], outs[0]["ok"],
+                                         outs[1]["hdr"], outs[1]["ok"]))
+        ma.consume(ha, oa)
+        mb.consume(hb, ob)
+
+    for rnd in range(n_rounds):
+        tx = []
+        seqs = ma.want_tx_seqs(rnd, per_round, span_limit=E)
+        new = [s for s in seqs if s not in staged]
+        st_idx = [s % E for s in new]
+        st_psdu = [np.frombuffer(ma.data_psdu(s), np.uint8) for s in new]
+        staged.update(new)
+        if mb.rx_seqs:                  # block-ack rides the same call
+            ba = pad_psdu(mb.block_ack_psdu(), len(ma.data_psdu(0)))
+            st_idx.append(E)
+            st_psdu.append(np.frombuffer(ba, np.uint8))
+            tx.append((E, adv - period, 1.0))
+        if st_idx:
+            air.stage_tx(st_idx, np.stack(st_psdu), 54)
+        tx += [(s % E, 200 + i * period, 1.0) for i, s in enumerate(seqs)]
+        outs, base = air.step(tx)
+        inflight.append((outs, base))
+        while len(inflight) > depth:
+            drain_one()
+        now = time.perf_counter()
+        if now > t_report:
+            air_t = (air.base - base_start) / SPS
+            log(f"  [{now-t_start:6.1f}s wall] {air_t:6.1f}s air, ratio "
+                f"{(now-t_start)/max(air_t, 1e-9):.3f}, acked "
+                f"{ma.stats.acked}, delivered {mb.stats.delivered}, "
+                f"retx {ma.stats.retransmits}")
+            t_report = now + 5.0
+    while inflight:
+        drain_one()
+    wall = time.perf_counter() - t_start
+    air_t = (air.base - base_start) / SPS
+    ratio = wall / air_t
+    goodput = ma.stats.acked * payload * 8 / air_t / 1e6
+    log(f"convo done: {air_t:.1f}s air in {wall:.1f}s wall -> ratio "
+        f"{ratio:.3f}; sent {ma.stats.sent} acked {ma.stats.acked} "
+        f"retx {ma.stats.retransmits} delivered {mb.stats.delivered} "
+        f"goodput {goodput:.1f} Mbps")
+    assert ma.stats.acked > 0 and mb.stats.delivered > 0
+    # every delivered-but-unacked seq is bounded by the pipeline depth
+    return {"mode": "convo", "air_seconds": round(air_t, 2),
+            "wall_seconds": round(wall, 2), "ratio": round(ratio, 4),
+            "sent": ma.stats.sent, "acked": ma.stats.acked,
+            "retransmits": ma.stats.retransmits,
+            "delivered": mb.stats.delivered,
+            "goodput_mbps": round(goodput, 2)}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=("rx", "convo"), default="rx")
+    ap.add_argument("--seconds", type=float, default=62.0)
+    ap.add_argument("--depth", type=int, default=6)
+    ap.add_argument("--json", default="")
+    args = ap.parse_args()
+
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
+    def log(*a):
+        print(*a, file=sys.stderr, flush=True)
+
+    log("backend:", jax.default_backend(), jax.devices())
+    res = (run_rx_soak if args.mode == "rx" else run_convo)(
+        args.seconds, args.depth, log)
+    line = json.dumps(res)
+    print(line, flush=True)
+    if args.json:
+        Path(args.json).write_text(line + "\n")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
