@@ -241,11 +241,12 @@ def _sharded_11n_fixed(mesh: Mesh, mcs: int, max_psdu: int):
         lts1, cfo, dt = sync(xb)
         xd = wsc(xb, all_axes)
         l1, cf, dt = (wsc(v, bspec) for v in (lts1, cfo, dt))
-        sig_eq, xdet, snr_db = nrx.extract_symbols(xd, l1, cf, nsym)
+        sig_eq, xdet, snr_db, wgt = nrx.extract_symbols(
+            xd, l1, cf, nsym, return_weights=True)
         lsig_ok = nrx.decode_lsig(sig_eq[:, 0])
         mcs_rx, length, htsig_ok, sgi_rx = nrx.decode_htsig(sig_eq[:, 1:])
         length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
-        psdu, fcs_ok = nrx.decode_data(xdet, length, mcs, max_psdu)
+        psdu, fcs_ok = nrx.decode_data(xdet, length, mcs, max_psdu, wgt)
         cs_ok = dt >= nrx.CS_DET_THRESHOLD
         ok = cs_ok & lsig_ok & htsig_ok & (mcs_rx == mcs) & fcs_ok
         return {"psdu": psdu, "ok": ok.astype(jnp.uint8),
@@ -395,8 +396,10 @@ def _sharded_11n_auto(mesh: Mesh, max_psdu: int, n_samples: int):
         lts1, cfo, det = sync(xb)
         xd = wsc(xb, all_axes)
         l1, cf, dt = (wsc(v, bspec) for v in (lts1, cfo, det))
-        sig_eq, xdet, snr_db = nrx.extract_symbols(xd, l1, cf, nsym_max)
-        out = nrx.auto_tail(sig_eq, xdet, dt, max_psdu, nsym_win)
+        sig_eq, xdet, snr_db, wgt = nrx.extract_symbols(
+            xd, l1, cf, nsym_max, return_weights=True)
+        out = nrx.auto_tail(sig_eq, xdet, dt, max_psdu, nsym_win,
+                            weights=wgt)
         out["snr_db"] = snr_db
         return out
 

@@ -189,7 +189,11 @@ def detect_only(x: jnp.ndarray):
     gate = en > 0.05 * jnp.max(en, axis=-1, keepdims=True)
     m = jnp.where(gate, jnp.abs(w) / (en + 1e-9), 0.0)
     det = jnp.max(m[:, : max(1, x.shape[1] - 480)], axis=-1)
-    power = jnp.mean(jnp.abs(x) ** 2, axis=-1).astype(jnp.float32)
+    # peak 64-sample mean power, NOT the whole-window mean: on sparsely
+    # occupied windows the window mean underestimates frame amplitude by
+    # the occupancy factor, the AGC overshoots, and short frames clip on
+    # the int8 wire (ADVICE r04) — the moving energy is already here
+    power = (jnp.max(en, axis=-1) * (1.0 / 64.0)).astype(jnp.float32)
     return det, power
 
 
@@ -609,8 +613,14 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
     mats, nsyms, ndbps_tab, nsym_max, t_max = _auto_tables(
         max_psdu, min(nsym_win, nsym_air))
     src = None
+    n_cand = None
     if n_frames > 1:
         lts1, cfo, det = synchronize_multi(x, n_frames, det_threshold)
+        # pre-compaction above-threshold candidate count: the node's
+        # compaction_drop accounting (dropped surplus = n_cand minus
+        # surviving cs_ok rows) — a silent top-k cap would otherwise
+        # read as "decoded everything"
+        n_cand = (det >= det_threshold).sum().astype(jnp.int32)
         if 0 < n_decode < x.shape[0] * n_frames:
             det, idx = jax.lax.top_k(det, n_decode)
             src = idx.astype(jnp.int32)
@@ -627,6 +637,8 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
     out.update({"snr_db": snr_db, "lts1": lts1, "cfo": cfo})
     if src is not None:
         out["src"] = src
+    if n_cand is not None:
+        out["n_cand"] = n_cand
     return out
 
 

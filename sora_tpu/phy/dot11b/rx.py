@@ -138,7 +138,10 @@ def detect_only(x: jnp.ndarray):
     n = c.shape[-1] - c.shape[-1] % 11
     folds = c[:, :n].reshape(x.shape[0], -1, 11).sum(axis=1)    # (B, 11)
     det = 11.0 * jnp.max(folds, axis=-1) / (jnp.sum(folds, axis=-1) + 1e-9)
-    power = jnp.mean(jnp.abs(x) ** 2, axis=-1).astype(jnp.float32)
+    # peak 64-chip mean power (not the whole-window mean): keeps the
+    # node's AGC honest on sparsely occupied windows (ADVICE r04)
+    en = df.moving_sum(jnp.abs(x) ** 2, 64).astype(jnp.float32)
+    power = (jnp.max(en, axis=-1) * (1.0 / 64.0)).astype(jnp.float32)
     return det.astype(jnp.float32), power
 
 

@@ -114,7 +114,7 @@ def synchronize(x: jnp.ndarray):
 
 
 # =============================================================================
-# Front end: CFO, legacy chanest, SIG symbols, MIMO chanest, ZF detection
+# Front end: CFO, legacy chanest, SIG symbols, MIMO chanest, MMSE detection
 # =============================================================================
 
 
@@ -141,13 +141,15 @@ def _inv2x2(H: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([row0, row1], axis=-2) * inv_det[..., None, None]
 
 
-@partial(jax.jit, static_argnames=("nsym", "short_gi"))
+@partial(jax.jit, static_argnames=("nsym", "short_gi", "mmse",
+                                   "return_weights"))
 def extract_symbols(x: jnp.ndarray, lts1: jnp.ndarray, cfo: jnp.ndarray,
-                    nsym: int, short_gi: bool = False):
-    """Front end through ZF detection for SIG + nsym HT data symbols.
+                    nsym: int, short_gi: bool = False, mmse: bool = True,
+                    return_weights: bool = False):
+    """Front end through MMSE detection for SIG + nsym HT data symbols.
 
     x: (B, 2, N).  Returns (sig_eq (B, 3, 48) — L-SIG/HT-SIG1/HT-SIG2
-    equalized carriers gain-normalized, xd (B, nsym, 52, 2) ZF-detected
+    equalized carriers gain-normalized, xd (B, nsym, 52, 2) MMSE-detected
     per-stream data carriers, snr_db (B,)).  ``short_gi`` reads
     72-sample data symbols (400 ns guard).
     """
@@ -194,12 +196,46 @@ def extract_symbols(x: jnp.ndarray, lts1: jnp.ndarray, cfo: jnp.ndarray,
     lseq_full[N.HT_OCC_BINS] = lseq
     H = Ht / jnp.asarray(lseq_full)[None, :, None, None]      # (B,64,2,2)
 
-    Hd_inv = _inv2x2(H[:, jnp.asarray(N.HT_DATA_BINS)])       # (B,52,2,2)
-    Hp_inv = _inv2x2(H[:, jnp.asarray(N.HT_PILOT_BINS)])      # (B,4,2,2)
+    # Per-subcarrier MMSE detection weights W = (H^H H + s2 I)^-1 H^H,
+    # unbiased by the diagonal of WH so constellation gain is exact.
+    # At high SNR W -> the plain ZF inverse; near-singular H no longer
+    # blows up the noise — beats the reference's ZF-only detector
+    # (channel_11n.hpp:426-445, CSoraMatrix inverse_scale).  s2 is the
+    # legacy-LTS noise estimate scaled to FFT-bin units (unnormalized
+    # 64-point DFT: bin variance = 64x per-sample variance).
+    s2 = jnp.where(mmse, 64.0 * nvar, 0.0).astype(
+        jnp.complex64)[:, None, None, None]    # mmse=False: plain ZF
+    eye2 = jnp.eye(2, dtype=jnp.complex64)
 
-    # HT data symbols: FFT + per-subcarrier ZF + pilot phase track
+    def _mmse_w(Hs):
+        Hh = jnp.conj(jnp.swapaxes(Hs, -1, -2))
+        G = jnp.einsum("bkij,bkjl->bkil", Hh, Hs) + s2 * eye2
+        W = jnp.einsum("bkij,bkjl->bkil", _inv2x2(G), Hh)
+        WH = jnp.einsum("bkij,bkjl->bkil", W, Hs)
+        d = jnp.stack([WH[..., 0, 0], WH[..., 1, 1]], axis=-1)
+        return W, d + 1e-12                                   # (B,K,2,2),(B,K,2)
+
+    Wd, dd = _mmse_w(H[:, jnp.asarray(N.HT_DATA_BINS)])       # (B,52,..)
+    Wp, dp = _mmse_w(H[:, jnp.asarray(N.HT_PILOT_BINS)])      # (B,4,..)
+
+    # Per-(subcarrier, stream) post-detection confidence for LLR
+    # weighting in the decode tail: |diag(WH)|^2 / [W W^H]_ii is the
+    # inverse noise amplification of the unbiased output (the common
+    # sigma^2 factor drops out of relative weights).  Normalized to
+    # unit mean so the decoder's soft-value scale is preserved; a
+    # stream the channel crushed contributes near-erasures instead of
+    # full-confidence garbage — information the reference's ZF+equal-
+    # weight demap throws away (channel_11n.hpp:426-445, dsp_demap.h).
+    ww = jnp.sum(jnp.abs(Wd) ** 2, axis=-1)                   # (B,52,2)
+    wgt = (jnp.abs(dd) ** 2) / (ww + 1e-20)
+    wgt = wgt / (jnp.mean(wgt, axis=(1, 2), keepdims=True) + 1e-20)
+    wgt = wgt.astype(jnp.float32)
+
+    # HT data symbols: FFT + per-subcarrier MMSE + pilot phase track
     if nsym == 0:
         xd = jnp.zeros((B, 0, 52, 2), dtype=jnp.complex64)
+        if return_weights:
+            return sig_eq, xd, snr_db, wgt
         return sig_eq, xd, snr_db
     sym = y[:, :, _OFF_DATA: _OFF_DATA + per * nsym].reshape(
         B, A, nsym, per)[:, :, :, gi:]
@@ -208,13 +244,14 @@ def extract_symbols(x: jnp.ndarray, lts1: jnp.ndarray, cfo: jnp.ndarray,
                        (0, 2, 3, 1))                          # (B,nsym,52,2)
     Sp = jnp.transpose(S[:, :, :, jnp.asarray(N.HT_PILOT_BINS)],
                        (0, 2, 3, 1))                          # (B,nsym,4,2)
-    xd = jnp.einsum("bkij,bnkj->bnki", Hd_inv, Sd)            # (B,nsym,52,2)
-    xpil = jnp.einsum("bkij,bnkj->bnki", Hp_inv, Sp)          # (B,nsym,4,2)
+    xd = jnp.einsum("bkij,bnkj->bnki", Wd, Sd) / dd[:, None]  # (B,nsym,52,2)
+    xpil = jnp.einsum("bkij,bnkj->bnki", Wp, Sp) / dp[:, None]
 
     # phase + slope tracking from the HT pilots (TPilotTrack_11n,
     # pilot_11n.hpp:99 + the const/delta rotation of pilot.hpp:142-236).
     # An SFO window drift multiplies the received Y_k by exp(j*delta*k)
-    # which commutes through the ZF inverse, so every stream's detected
+    # which commutes through the per-subcarrier detector, so every
+    # stream's detected
     # pilot carries the same common-phase + per-subcarrier ramp.
     from sora_tpu.phy.dot11a.rx import _pilot_slope
     from sora_tpu.phy.dot11n.tx import _pilot_table
@@ -234,6 +271,8 @@ def extract_symbols(x: jnp.ndarray, lts1: jnp.ndarray, cfo: jnp.ndarray,
     xd = xd * jnp.exp(-1j * (ph[:, :, None]
                              + slope[:, :, None] * k52[None, None, :])
                       )[:, :, :, None]
+    if return_weights:
+        return sig_eq, xd, snr_db, wgt
     return sig_eq, xd, snr_db
 
 
@@ -303,20 +342,35 @@ def _mcs_symbol_matrix(mcs: int) -> np.ndarray:
     return np.concatenate(rows, axis=0)          # (2*ncbpss, 2*ndbps)
 
 
+_NBPSC = {"bpsk": 1, "qpsk": 2, "qam16": 4, "qam64": 6}
+
+
+def _expand_weights(wgt: jnp.ndarray, nbpsc: int) -> jnp.ndarray:
+    """(B, 52, 2) per-(subcarrier, stream) LLR weights -> (B, 2*52*nbpsc)
+    per-soft-bit scale, stream-major then carrier-major (the demap
+    concat layout of decode_data)."""
+    w = jnp.repeat(jnp.transpose(wgt, (0, 2, 1)), nbpsc, axis=-1)
+    return w.reshape(wgt.shape[0], -1)
+
+
 @partial(jax.jit, static_argnames=("mcs", "max_psdu"))
 def decode_data(xd: jnp.ndarray, length: jnp.ndarray, mcs: int,
-                max_psdu: int = MAX_PSDU):
-    """Decode ZF-detected HT data symbols for one MCS.
+                max_psdu: int = MAX_PSDU, weights: jnp.ndarray = None):
+    """Decode MMSE-detected HT data symbols for one MCS.
 
     xd: (B, nsym_max, 52, 2) per-stream detected carriers; length: (B,)
-    PSDU byte counts from HT-SIG.  Returns (psdu (B, max_psdu) uint8,
-    fcs_ok (B,) bool).
+    PSDU byte counts from HT-SIG; weights: optional (B, 52, 2) LLR
+    confidence from extract_symbols(return_weights=True).  Returns
+    (psdu (B, max_psdu) uint8, fcs_ok (B,) bool).
     """
     m = N.MCS[mcs]
     B, nsym_max = xd.shape[0], xd.shape[1]
     soft = jnp.concatenate(
         [dmap.demap_soft(xd[:, :, :, i], m.modulation) for i in range(2)],
         axis=-1)                                   # (B, nsym, 2*ncbpss)
+    if weights is not None:
+        soft = soft * _expand_weights(weights, _NBPSC[m.modulation]
+                                      )[:, None, :]
     nbits = 16 + 8 * length + 6
     nsym_actual = -(-nbits // m.ndbps)
     symi = jnp.arange(nsym_max)[None, :]
@@ -365,9 +419,11 @@ def _finish_frame(bits: jnp.ndarray, length: jnp.ndarray, t_steps: int,
 # =============================================================================
 
 
-@partial(jax.jit, static_argnames=("mcs", "max_psdu", "short_gi"))
+@partial(jax.jit, static_argnames=("mcs", "max_psdu", "short_gi",
+                                   "mmse", "weighted"))
 def rx_pipeline(x: jnp.ndarray, mcs: int, max_psdu: int = MAX_PSDU,
-                short_gi: bool = False):
+                short_gi: bool = False, mmse: bool = True,
+                weighted: bool = True):
     """Complete batched 2x2 HT RX for a known MCS.
 
     x: (B, 2, N) complex64.  Returns dict with psdu (B, max_psdu) uint8,
@@ -379,11 +435,14 @@ def rx_pipeline(x: jnp.ndarray, mcs: int, max_psdu: int = MAX_PSDU,
     nsym_win = max(1, (int(x.shape[-1]) - _OFF_DATA) // per)
     nsym = min(max_symbols(mcs, max_psdu), nsym_win)
     lts1, cfo, det = synchronize(x)
-    sig_eq, xd, snr_db = extract_symbols(x, lts1, cfo, nsym, short_gi)
+    sig_eq, xd, snr_db, wgt = extract_symbols(x, lts1, cfo, nsym,
+                                              short_gi, mmse,
+                                              return_weights=True)
     lsig_ok = decode_lsig(sig_eq[:, 0])
     mcs_rx, length, htsig_ok, sgi_rx = decode_htsig(sig_eq[:, 1:])
     length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
-    psdu, fcs_ok = decode_data(xd, length, mcs, max_psdu)
+    psdu, fcs_ok = decode_data(xd, length, mcs, max_psdu,
+                               wgt if weighted else None)
     sig_ok = lsig_ok & htsig_ok
     cs_ok = det >= CS_DET_THRESHOLD
     ok = (cs_ok & sig_ok & (mcs_rx == mcs) & fcs_ok
@@ -691,8 +750,9 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU):
     mats, nsyms, ndbps_tab, nsym_max, t_max = _auto_tables_n(max_psdu,
                                                              nsym_win)
     lts1, cfo, det = synchronize(x)
-    sig_eq, xd, snr_db = extract_symbols(x, lts1, cfo, nsym_max)
-    out = auto_tail(sig_eq, xd, det, max_psdu, nsym_win)
+    sig_eq, xd, snr_db, wgt = extract_symbols(x, lts1, cfo, nsym_max,
+                                              return_weights=True)
+    out = auto_tail(sig_eq, xd, det, max_psdu, nsym_win, weights=wgt)
     out.update({"snr_db": snr_db, "lts1": lts1, "cfo": cfo})
     return out
 
@@ -701,7 +761,8 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU):
                                    "det_threshold"))
 def auto_tail(sig_eq: jnp.ndarray, xd: jnp.ndarray, det: jnp.ndarray,
               max_psdu: int, nsym_cap: int,
-              det_threshold: float = CS_DET_THRESHOLD):
+              det_threshold: float = CS_DET_THRESHOLD,
+              weights: jnp.ndarray = None):
     """L-SIG/HT-SIG parse + mixed-MCS ZF decode from detected symbols —
     the shared back half of :func:`rx_pipeline_auto`, also driven
     batch-parallel by the sharded pipeline (parallel.shard).  ``ok`` is
@@ -724,6 +785,12 @@ def auto_tail(sig_eq: jnp.ndarray, xd: jnp.ndarray, det: jnp.ndarray,
             [dmap.demap_soft(xd[:, :, :, i], mod) for mod in _MOD_ORDER],
             axis=-1))                              # (B, nsym, 676)
     soft_cat = jnp.stack(streams, axis=2)          # (B, nsym, 2, 676)
+    if weights is not None:
+        we = jnp.concatenate(
+            [jnp.repeat(jnp.transpose(weights, (0, 2, 1)),
+                        _NBPSC[mod], axis=-1) for mod in _MOD_ORDER],
+            axis=-1)                               # (B, 2, 676)
+        soft_cat = soft_cat * we[:, None]
     ndbps = jnp.asarray(ndbps_tab)[mcs_idx]
     nbits = 16 + 8 * length + 6
     nsym_actual = (nbits + ndbps - 1) // ndbps
@@ -824,9 +891,10 @@ def demodulate(x, expect_mcs: int | None = None) -> RxResult:
         psdu, fcs_ok = decode_data_1ss(
             xd, jnp.asarray([res.length], jnp.int32), mcs)
     else:
-        _, xd, _ = extract_symbols(xb, lts1, cfo, nsym, sgi)
+        _, xd, _, wgt = extract_symbols(xb, lts1, cfo, nsym, sgi,
+                                        return_weights=True)
         psdu, fcs_ok = decode_data(
-            xd, jnp.asarray([res.length], jnp.int32), mcs)
+            xd, jnp.asarray([res.length], jnp.int32), mcs, weights=wgt)
     res.psdu = bytes(np.asarray(psdu[0])[: res.length])
     res.fcs_ok = bool(fcs_ok.astype(jnp.uint8)[0])
     res.ok = res.fcs_ok

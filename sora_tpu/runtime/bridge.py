@@ -50,6 +50,7 @@ class TapBridge:
     def __init__(self, name: str = "sora0", up: bool = True):
         import fcntl
 
+        self.drops = 0            # frames dropped on a full device queue
         self.fd = os.open("/dev/net/tun", os.O_RDWR | os.O_NONBLOCK)
         ifr = struct.pack("16sH22x", name.encode(),
                           self._IFF_TAP | self._IFF_NO_PI)
@@ -75,7 +76,14 @@ class TapBridge:
         return out
 
     def write_frame(self, frame: bytes) -> None:
-        os.write(self.fd, frame)
+        try:
+            os.write(self.fd, frame)
+        except (BlockingIOError, OSError):
+            # device queue full (O_NONBLOCK tap): drop, as a NIC
+            # indicating into a saturated stack does — matching
+            # SocketBridge semantics instead of killing the node's
+            # poll loop (ADVICE r04)
+            self.drops += 1
 
     def close(self) -> None:
         if self.fd >= 0:

@@ -186,6 +186,8 @@ class ErrStats:
     crc_fail: int = 0
     truncated: int = 0            # frame runs past the window end; it
     # decodes from the next overlapping window (boundary accounting)
+    compaction_drop: int = 0      # above-threshold candidates dropped by
+    # the decode_slots top-k (decode capacity, NOT a channel error)
     dup: int = 0
     not_for_us: int = 0
     acks_tx: int = 0
@@ -196,6 +198,8 @@ class ErrStats:
     beacons_tx: int = 0           # AP-mode beacons queued
     mgmt_rx: int = 0              # auth/assoc/beacon frames handled
     ring_drops: list = field(default_factory=list)   # per-vstream counts
+    ring_resync: int = 0          # antenna-stream realignments (overrun
+    # between the availability pre-check and a later ring's read)
     backlog_dropped: int = 0      # samples skipped by the watchdog
     # bounded: a long-running node must not grow without limit
     ack_latency_s: "deque" = field(
@@ -565,17 +569,36 @@ class StreamingNode:
         i8 = cfg.wire == "i8"
         sc = (I8_SCALE if i8 else I16_SCALE) * gain
         dt = np.int8 if i8 else np.int16
-        arrs, start0 = [], None
+        reads = []
         try:
             for ring, vs in zip(self.rings, self.vss):
-                arr, start = ring.read_windows(vs, cfg.window, hop,
-                                               cfg.batch, sc, dt)
-                arrs.append(arr)
-                if start0 is None:
-                    start0 = start
+                reads.append(ring.read_windows(vs, cfg.window, hop,
+                                               cfg.batch, sc, dt))
         except ValueError:          # span > ring capacity: fall back
             self._native_feed = False
             return None
+        if any(r is None for r in reads):
+            return None               # next call's alignment check mends
+        starts = [s for _, s in reads]
+        if len(set(starts)) > 1:
+            # a producer overrun between the availability pre-check and a
+            # later ring's read (or historically unequal drop counts)
+            # desynchronized the antenna streams; metas/dedup follow
+            # ring 0, so a silent skew would corrupt the MIMO pairing
+            # for good (ADVICE r04).  Drop the batch and realign every
+            # cursor to the leading stream's position.
+            self.stats.ring_resync += 1
+            adv = hop * cfg.batch
+            lead = max(starts) + adv
+            for (_, s), ring, vs in zip(reads, self.rings, self.vss):
+                gap = lead - (s + adv)
+                while gap > 0:
+                    got = ring.read(vs, min(gap, 1 << 16))
+                    if len(got) == 0:     # rest not written yet: the
+                        break             # next batch re-checks
+                    gap -= len(got)
+            return None
+        arrs, start0 = [a for a, _ in reads], starts[0]
         h = np.stack(arrs, axis=1) if cfg.phy == "n" else arrs[0]
         metas = [start0 + i * hop for i in range(cfg.batch)]
         self._abs_off = start0 + hop * cfg.batch
@@ -995,11 +1018,25 @@ class StreamingNode:
                               ).astype(np.uint8)
         # window-level carrier accounting: any fired candidate marks the
         # medium busy through its window's end (window-granular CCA for
-        # the TX FSM); a window with no fired candidate is idle air
-        fired = np.zeros(len(metas), bool)
+        # the TX FSM); a window with no fired candidate is idle air.
+        # CCA must NOT depend on decode capacity: under compaction the
+        # top-k may drop every candidate of a busy window, so the
+        # PRE-compaction per-window detector also marks busy (the
+        # reference's CCA defers regardless of what decodes,
+        # mac.cpp:190-280) — and the dropped surplus is counted.
+        det_w = np.asarray(det).reshape(-1)
+        if len(det_w) == len(metas):
+            fired = det_w >= cfg.detect_threshold
+        else:
+            fired = np.zeros(len(metas), bool)
         for i in range(nrows):
             if cs_ok[i]:
                 fired[win_of[i]] = True
+        n_cand = out.get("n_cand")
+        if src is not None and n_cand is not None:
+            drop = int(n_cand) - int((np.asarray(cs_ok) != 0).sum())
+            if drop > 0:
+                self.stats.compaction_drop += drop
         for w, f in enumerate(fired):
             if f:
                 self._busy_until = max(self._busy_until,

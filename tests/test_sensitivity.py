@@ -106,3 +106,42 @@ def test_sensitivity_thresholds_11n(mcs, snr_ok, snr_fail, rng):
     assert ok == n, f"MCS {mcs} at {snr_ok} dB: {ok}/{n}"
     ok, n = _run_n(mcs, snr_fail, rng)
     assert ok == 0, f"MCS {mcs} at {snr_fail} dB: {ok}/{n}"
+
+
+def test_11n_weighted_mmse_beats_plain_zf_under_multipath(rng):
+    """The MMSE + per-subcarrier LLR-weighted 2x2 receiver must clearly
+    beat the reference's equal-weight plain-ZF detector
+    (channel_11n.hpp:426-445) under frequency-selective Rayleigh
+    multipath at MCS 15 — measured ~+3 dB (19/32 vs 7/32 at 30 dB,
+    tools/sensitivity_sweep.py sweep_11n_mixed)."""
+    import jax.numpy as jnp
+
+    from sora_tpu.golden import dot11n_np as gn
+    from sora_tpu.phy.dot11n import rx as nrx
+
+    n, mcs, snr = 24, 15, 30.0
+    psdus = [fr.build_data_frame(bytes(rng.integers(0, 256, 72,
+                                                    dtype=np.uint8)),
+                                 seq=i) for i in range(n)]
+    waves = [np.asarray(gn.modulate(p, mcs)) for p in psdus]
+    N = max(w.shape[1] for w in waves) + 320
+    x = np.zeros((n, 2, N), np.complex64)
+    ch = np.random.default_rng(77)
+    for i, w in enumerate(waves):
+        m = np.zeros((2, w.shape[1] + 12), np.complex64)
+        for delay, p in zip((0, 3, 7, 12), (1.0, 0.5, 0.25, 0.12)):
+            H = (ch.normal(size=(2, 2)) + 1j * ch.normal(size=(2, 2))
+                 ).astype(np.complex64) * np.sqrt(p / 2.0)
+            m[:, delay: delay + w.shape[1]] += H @ w
+        x[i, :, 40: 40 + m.shape[1]] = m
+    sig_p = float(np.mean(np.abs(x) ** 2) * N / (N - 320))
+    sigma = np.sqrt(sig_p / (2.0 * 10 ** (snr / 10.0)))
+    rng_n = np.random.default_rng(130)
+    xn = jnp.asarray(x + sigma * (
+        rng_n.normal(size=x.shape) + 1j * rng_n.normal(size=x.shape)
+    ).astype(np.complex64))
+    ours = int(np.asarray(nrx.rx_pipeline(
+        xn, mcs, max_psdu=128)["ok"]).sum())
+    ref = int(np.asarray(nrx.rx_pipeline(
+        xn, mcs, max_psdu=128, mmse=False, weighted=False)["ok"]).sum())
+    assert ours >= ref + 5, (ours, ref, n)

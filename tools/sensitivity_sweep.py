@@ -141,6 +141,56 @@ def sweep_11n(snrs, mcs_list=(0, 4, 7, 8, 11, 15), n=10, payload=72,
     return rows
 
 
+def _multipath_2x2(v, ch):
+    """4-tap in-CP frequency-selective 2x2 channel: per-tap random
+    complex mixing (the test_channel model, exercised chain-level)."""
+    out = np.zeros((2, v.shape[1] + 12), np.complex64)
+    for delay, p in zip((0, 3, 7, 12), (1.0, 0.5, 0.25, 0.12)):
+        H = (ch.normal(size=(2, 2)) + 1j * ch.normal(size=(2, 2))
+             ).astype(np.complex64) * np.sqrt(p / 2.0)
+        out[:, delay: delay + v.shape[1]] += H @ v
+    return out
+
+
+def sweep_11n_mixed(snrs, mcs_list=(12, 15), n=16, payload=72, seed=47):
+    """High-MCS 2x2 rows under per-frame frequency-selective Rayleigh
+    multipath — the regime where the MMSE + per-subcarrier LLR-weighted
+    receiver beats the reference's equal-weight ZF
+    (channel_11n.hpp:426-445 + dsp_demap.h): crushed subcarriers/streams
+    contribute near-erasures instead of full-confidence garbage.
+    Same channels and noise for both receivers."""
+    import jax.numpy as jnp
+    from sora_tpu.golden import dot11n_np as gn
+    from sora_tpu.phy.dot11n import rx as jrx
+
+    rows = {}
+    for mcs in mcs_list:
+        rng = np.random.default_rng(seed + mcs)
+        psdus = _frames(rng, n, payload)
+        waves = [np.asarray(gn.modulate(p, mcs)) for p in psdus]
+        N = max(w.shape[1] for w in waves) + 320
+        x = np.zeros((n, 2, N), np.complex64)
+        ch = np.random.default_rng(seed * 7 + mcs)
+        for i, w in enumerate(waves):
+            m = _multipath_2x2(w, ch)
+            x[i, :, 40: 40 + m.shape[1]] = m
+        sig_p = float(np.mean(np.abs(x) ** 2) * N / (N - 320))
+        for name, kw in ((f"MCS {mcs} MMSE+wgt", {}),
+                         (f"MCS {mcs} plain ZF (ref)",
+                          {"mmse": False, "weighted": False})):
+            pts = []
+            for snr in snrs:
+                rng_n = np.random.default_rng(1000 + mcs + int(snr))
+                out = jrx.rx_pipeline(
+                    jnp.asarray(_noisy(x, sig_p, snr, rng_n)), mcs,
+                    max_psdu=128, **kw)
+                fer = 1.0 - float(np.asarray(out["ok"]).sum()) / n
+                pts.append((snr, fer, _ber(psdus, out, n)))
+            rows[name] = pts
+        _log(f"11n mixed MCS {mcs} done")
+    return rows
+
+
 def _table(title, rows, snrs):
     out = [f"\n## {title}\n"]
     out.append("| mode | " + " | ".join(f"{s:g} dB" for s in snrs) + " |")
@@ -177,7 +227,12 @@ def main():
     print(_table("802.11b (11 Msps DSSS/CCK, long + short preamble)",
                  b, snrs_b))
     nn = sweep_11n(snrs_n)
-    print(_table("802.11n (2x2 MIMO, ZF)", nn, snrs_n))
+    print(_table("802.11n (2x2 MIMO, MMSE detection)", nn, snrs_n))
+    snrs_m = [12, 15, 18, 21, 24, 27, 30, 33, 36, 39]
+    nm = sweep_11n_mixed(snrs_m)
+    print(_table("802.11n 2x2 under frequency-selective Rayleigh "
+                 "multipath (MMSE+LLR-weight vs the reference's "
+                 "equal-weight ZF)", nm, snrs_m))
     print("\nExpected structure: waterfall position ordered by modulation")
     print("order and code rate within each PHY; the short-preamble rows")
     print("match their long-preamble siblings (the data section is")
