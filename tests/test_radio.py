@@ -109,3 +109,65 @@ def test_register_file():
     r.write_register(0x10, 0xDEAD)
     assert r.read_register(0x10) == 0xDEAD
     assert r.read_register(0x44) == 0
+
+
+def test_channel_model_multipath_cfo_sfo_through_node(rng):
+    """VERDICT r04 item 6: node-level decode through the radio path with
+    a 4-tap in-CP channel, Doppler/CFO, a +20 ppm receive clock, and
+    antenna noise — all installed as the radio's ChannelModel, not
+    hand-applied in the test."""
+    from sora_tpu.runtime.radio import ChannelModel
+
+    air, psdus = _frame_air(rng, n=4, rate=12)
+    ring = RxRing(capacity=1 << 22)
+    radio = SoftRadio(ring)
+    radio.attach_air(air, freq_hz=2.422e9, rate_sps=20e6)
+    radio.set_channel(ChannelModel(
+        taps=[(0, 1.0), (3, 0.45 * np.exp(0.9j)),
+              (7, 0.2 * np.exp(-2.1j)), (11, 0.08 * np.exp(0.3j))],
+        doppler_hz=55e3, sfo_ppm=20.0, noise_rms=0.01, seed=5))
+    cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=256,
+                     addr=ADDR, rate_mbps=None)
+    node = StreamingNode(ring, cfg, tx_sink=TxSink())
+    radio.start_rx()
+    idle = 0
+    while idle < 3:
+        idle = 0 if node.step() else idle + 1
+    node.flush()
+    assert node.stats.frame_ok == len(psdus), node.report()
+    radio.stop()
+    ring.close()
+
+
+def test_channel_model_mimo_mixing(rng):
+    """Per-path 2x2 mixing matrices through the radio front end: the
+    captured air is spatially coupled and frequency selective; the 11n
+    MMSE chain undoes both."""
+    import jax.numpy as jnp
+
+    from sora_tpu.golden import dot11n_np as gn
+    from sora_tpu.phy.dot11n import rx as nrx
+    from sora_tpu.runtime.radio import ChannelModel
+
+    psdu = append_fcs(MacHeader(addr1=ADDR).pack()
+                      + bytes(rng.integers(0, 256, 120, dtype=np.uint8)))
+    w = np.asarray(gn.modulate(psdu, 11))            # (2, n)
+    taps = []
+    for d in (0, 4, 9):
+        while True:
+            H = (rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+                 ) / (2.0 if d else np.sqrt(2.0))
+            if d or abs(np.linalg.det(H)) > 0.3:
+                break
+        taps.append((d, H))
+    radio = SoftRadio()
+    radio.attach_air(w)
+    radio.set_channel(ChannelModel(taps=taps, noise_rms=0.01, seed=3))
+    cap = radio.capture()                            # (2, n')
+    assert cap.ndim == 2 and cap.shape[0] == 2
+    x = np.zeros((1, 2, cap.shape[1] + 340), np.complex64)
+    x[0, :, 40: 40 + cap.shape[1]] = cap
+    out = nrx.rx_pipeline(jnp.asarray(x), 11, max_psdu=256)
+    assert np.asarray(out["ok"])[0]
+    n = int(np.asarray(out["length"])[0])
+    assert bytes(np.asarray(out["psdu"])[0][:n]) == psdu

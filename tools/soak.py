@@ -34,6 +34,10 @@ def main(argv=None) -> int:
     p.add_argument("--seconds", type=float, default=30.0)
     p.add_argument("--phy", default="a", choices=("a", "b"))
     p.add_argument("--wire", default="i8", choices=("i16", "i8"))
+    p.add_argument("--channel", action="store_true",
+                   help="run the air through the radio's ChannelModel "
+                        "(4-tap in-CP multipath + 55 kHz Doppler + "
+                        "20 ppm SFO + antenna noise)")
     args = p.parse_args(argv)
 
     from sora_tpu.util.platform import setup_jax
@@ -54,6 +58,19 @@ def main(argv=None) -> int:
           f"batch={cfg.batch}", flush=True)
     node.warm_up()
     src = synthetic_traffic(64, addr, mixed=True, rate=6, phy=args.phy)
+    if args.channel:
+        import numpy as np
+
+        from sora_tpu.runtime.radio import ChannelModel, SoftRadio
+        radio = SoftRadio()
+        radio.attach_air(src, rate_sps=cfg.sample_rate_sps)
+        radio.set_channel(ChannelModel(
+            taps=[(0, 1.0), (3, 0.45 * np.exp(0.9j)),
+                  (7, 0.2 * np.exp(-2.1j)), (11, 0.08 * np.exp(0.3j))],
+            doppler_hz=55e3, sfo_ppm=20.0, noise_rms=0.01, seed=9))
+        src = radio.capture()
+        print("channel: 4-tap multipath + 55 kHz doppler + 20 ppm sfo "
+              "+ antenna noise", flush=True)
     # unpaced loop: the node is the rate limiter; the watchdog handles
     # backlog — a soak exercises exactly that steady state
     ring.start_replay(src, rate_sps=cfg.sample_rate_sps, loop=True)
