@@ -404,3 +404,66 @@ def _sharded_11n_auto(mesh: Mesh, max_psdu: int, n_samples: int):
         return out
 
     return run
+
+
+def rx_pipeline_sharded_11b(x: jnp.ndarray, mesh: Mesh,
+                            max_psdu: int = 256):
+    """Sharded DSSS RX: the Barker chip-rate correlation — the dominant
+    per-chip compute of the 11b chain — runs (dp, sp)-sharded with a
+    16-chip halo exchange, then the mixed-rate decode tail
+    (phy.dot11b.rx.auto_tail: onset/fold sync, PLCP, PSK/CCK decode)
+    runs batch-parallel over every device.  Completes "every PHY
+    sharded" (the reference parallelized 11b like 11a,
+    fb11bdemod_config.hpp:92-142).
+
+    x: (B, N) complex64 chips at 11 Msps; B must divide by the device
+    count.  Returns the rx_pipeline_auto dict, batch-sharded.
+    """
+    xs = _shard_in(x, mesh, "11m", P("dp", "sp"), P("dp", "sp", None))
+    return _sharded_b_auto(mesh, max_psdu)(xs)
+
+
+@lru_cache(maxsize=None)
+def _sharded_b_auto(mesh: Mesh, max_psdu: int):
+    from sora_tpu.phy.dot11b import rx as brx
+
+    corr = _corr_sharded_11b_jit(mesh)
+    batch_all = NamedSharding(mesh, P(("dp", "sp"), None))
+    wsc = jax.lax.with_sharding_constraint
+
+    @jax.jit
+    def run(xb):
+        cg = corr(xb)                       # (B, N), (dp, sp)-sharded
+        n = int(xb.shape[1]) - 10           # correlate_stream's length
+        xb2 = wsc(xb, batch_all)
+        c2 = wsc(cg[:, :n], batch_all)
+        return brx.auto_tail(xb2, c2, max_psdu)
+
+    return run
+
+
+@lru_cache(maxsize=None)
+def _corr_sharded_11b_jit(mesh: Mesh):
+    """(dp, sp)-sharded Barker correlation with a 16-chip halo from the
+    right neighbor (the 11-chip pattern spans 10 chips past a block
+    boundary); the last block zero-fills, matching the unsharded
+    correlate_stream once the surplus tail is sliced off."""
+    from sora_tpu.phy import dot11b_common as B11
+
+    nsp = mesh.shape["sp"]
+    HB = 16
+
+    def local(xl):
+        sp_i = jax.lax.axis_index("sp")
+        perm = [(i, (i - 1) % nsp) for i in range(nsp)]
+        head = jax.lax.ppermute(xl[:, :HB], "sp", perm)
+        head = jnp.where(sp_i == nsp - 1, 0.0, 1.0) * head
+        xx = jnp.concatenate([xl, head], axis=1)
+        cl = df.correlate_stream(xx, B11.BARKER.astype(np.complex64))
+        return cl[:, : xl.shape[1]]
+
+    return jax.jit(jax.shard_map(
+        local, mesh=mesh,
+        in_specs=P("dp", "sp"),
+        out_specs=P("dp", "sp"),
+    ))

@@ -97,6 +97,14 @@ def synchronize(x: jnp.ndarray, search: int = 2300):
     t0 (B,) chip offset of the first sync symbol, c full correlations).
     """
     c = df.correlate_stream(x, B.BARKER.astype(np.complex64))
+    return synchronize_from_corr(x, c, search)
+
+
+def synchronize_from_corr(x: jnp.ndarray, c: jnp.ndarray,
+                          search: int = 2300):
+    """Back half of :func:`synchronize` given the precomputed Barker
+    correlation ``c`` — the sharded pipeline computes c with (dp, sp)
+    chip-rate halos (parallel.shard) and runs this batch-parallel."""
     n = c.shape[-1]
     # first-burst onset: 128-chip moving energy, earliest >= 50% of peak
     en = df.moving_sum(jnp.abs(x[:, :n]) ** 2, 128).astype(jnp.float32)
@@ -403,8 +411,18 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = 256):
     x: (B, N) complex64 chips at 11 Msps.  Returns the rx_pipeline dict
     plus rate_mbps (B,) float32.
     """
+    c = df.correlate_stream(x, B.BARKER.astype(np.complex64))
+    return auto_tail(x, c, max_psdu)
+
+
+@partial(jax.jit, static_argnames=("max_psdu",))
+def auto_tail(x: jnp.ndarray, c: jnp.ndarray, max_psdu: int = 256):
+    """Mixed-rate decode from the precomputed Barker correlation — the
+    shared back half of :func:`rx_pipeline_auto`, driven batch-parallel
+    by the sharded DSSS pipeline (parallel.shard.rx_pipeline_sharded_11b)
+    after its halo-exchanged correlation front."""
     Bsz = x.shape[0]
-    corr, t0, c = synchronize(x)
+    corr, t0, c = synchronize_from_corr(x, c)
     bits = _dbpsk_bits(corr)
     desc = _descramble(bits)
     plcp = _parse_plcp_both(corr, bits, desc)

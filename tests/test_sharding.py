@@ -214,3 +214,35 @@ def test_surviving_mesh_rebalance(frames):
     out = psh.rx_pipeline_sharded(jnp.asarray(x), small, rate,
                                   max_psdu=128)
     assert np.asarray(out["ok"]).all()
+
+
+def test_sharded_11b_pipeline_mixed_rates(rng):
+    """rx_pipeline_sharded_11b: (dp, sp)-halo Barker correlation +
+    batch-parallel DSSS decode tail, exact parity with the single-device
+    rx_pipeline_auto on a mixed-rate long/short-preamble batch
+    (completes 'every PHY sharded' — fb11bdemod_config.hpp:92-142)."""
+    from sora_tpu.golden import dot11b_np as gb
+    from sora_tpu.phy.dot11b import rx as brx
+
+    specs = [(1, "long"), (2, "long"), (5.5, "long"), (11, "long"),
+             (2, "short"), (5.5, "short"), (11, "short"), (11, "long")]
+    psdus = [fr.build_data_frame(bytes(rng.integers(0, 256, 40,
+                                                    dtype=np.uint8)),
+                                 seq=i) for i in range(8)]
+    x = np.zeros((8, 8192), np.complex64)
+    for i, (p, (r, pre)) in enumerate(zip(psdus, specs)):
+        w = gb.modulate(p, r, preamble=pre).astype(np.complex64)
+        x[i, 60 + 13 * i: 60 + 13 * i + len(w)] = w
+    x += (rng.normal(size=x.shape) + 1j * rng.normal(size=x.shape)
+          ).astype(np.complex64) * 0.02
+    mesh = psh.make_mesh()
+    out = psh.rx_pipeline_sharded_11b(jnp.asarray(x), mesh, max_psdu=128)
+    ok = np.asarray(out["ok"])
+    assert ok.all(), (ok, np.asarray(out["rate_mbps"]))
+    assert [float(v) for v in np.asarray(out["rate_mbps"])] == \
+        [r for r, _ in specs]
+    psdu = np.asarray(out["psdu"])
+    # exact parity with the unsharded auto pipeline
+    ref = brx.rx_pipeline_auto(jnp.asarray(x), max_psdu=128)
+    np.testing.assert_array_equal(psdu, np.asarray(ref["psdu"]))
+    np.testing.assert_array_equal(ok, np.asarray(ref["ok"]))
