@@ -40,15 +40,19 @@ ADDR_A = b"\x02SORA0"
 ADDR_B = b"\x02SORA1"
 
 
-def _mk_pair(window: int, batch: int):
+def _mk_pair(window: int, batch: int, max_psdu: int = 1600):
     from sora_tpu.runtime.native import RxRing
     from sora_tpu.runtime.node import NodeConfig, StreamingNode, TxSink
 
     ring_a = RxRing(capacity=1 << 22)
     ring_b = RxRing(capacity=1 << 22)
+    # window=0 auto-sizes window/overlap from max_psdu at the air's
+    # floor rate (24, data AND acks), so every config is coherent and
+    # boundary-safe — no span warning at any --mtu
     mk = lambda addr: NodeConfig(
-        window=window, batch=batch, overlap=0, max_psdu=1600,
-        addr=addr, rate_mbps=None, data_rate=24, min_rate_mbps=24)
+        window=window, batch=batch, overlap=0, max_psdu=max_psdu,
+        addr=addr, rate_mbps=None, data_rate=24, ack_rate=24,
+        min_rate_mbps=24)
     a = StreamingNode(ring_a, mk(ADDR_A), tx_sink=TxSink(ring_b))
     b = StreamingNode(ring_b, mk(ADDR_B), tx_sink=TxSink(ring_a))
     return (ring_a, ring_b), (a, b)
@@ -67,7 +71,10 @@ def main(argv=None) -> int:
                    help="TAP interface name prefix (default sora -> "
                         "sora0/sora1)")
     p.add_argument("--seconds", type=float, default=30.0)
-    p.add_argument("--window", type=int, default=8192)
+    p.add_argument("--window", type=int, default=0,
+                   help="0 = auto-size from --mtu at the air floor rate")
+    p.add_argument("--mtu", type=int, default=1600,
+                   help="max PSDU bytes carried over the air")
     p.add_argument("--batch", type=int, default=2)
     p.add_argument("--selftest", action="store_true",
                    help="with --pair --sockets: push an echo through "
@@ -80,7 +87,7 @@ def main(argv=None) -> int:
     from sora_tpu.runtime.bridge import (PacketReflector, SocketBridge,
                                          TapBridge)
 
-    rings, nodes = _mk_pair(args.window, args.batch)
+    rings, nodes = _mk_pair(args.window, args.batch, args.mtu)
     if not args.pair:
         nodes = nodes[:1]
     apps = []

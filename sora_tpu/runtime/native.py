@@ -1,4 +1,4 @@
-"""ctypes bindings for the native host runtime (native/sora_host.cpp).
+"""ctypes bindings for the native host runtime (sora_tpu/native/sora_host.cpp).
 
 The C++ library implements the reference's user-mode runtime analogues:
 dump parsing (brickutil.h), the RX sample ring with scan-pointer reads and
@@ -20,8 +20,7 @@ from pathlib import Path
 
 import numpy as np
 
-_ROOT = Path(__file__).resolve().parents[2]
-_SO = _ROOT / "native" / "libsora_host.so"
+_SO = Path(__file__).resolve().parents[1] / "native" / "libsora_host.so"
 _lib = None
 
 

@@ -255,3 +255,27 @@ class SoftRadio:
         if self._tx_sink is not None:
             self._tx_sink(out)
         return out
+
+
+# -- persisted register image (the usereg CLI's handle on a radio) ----------
+
+
+def save_state(state: RadioState, path: str) -> None:
+    """Serialize the RADIO_CONTEXT register image to a JSON file — the
+    cross-process handle apps/usereg.py operates on (the reference's
+    usereg.cpp talks to the driver's radio context via DeviceIoControl;
+    here the context is a file the owning process reloads)."""
+    import json
+    d = {k: v for k, v in vars(state).items()}
+    d["registers"] = {str(k): v for k, v in state.registers.items()}
+    with open(path, "w") as f:
+        json.dump(d, f, indent=1, sort_keys=True)
+
+
+def load_state(path: str) -> RadioState:
+    import json
+    with open(path) as f:
+        d = json.load(f)
+    d["registers"] = {int(k): int(v)
+                      for k, v in d.get("registers", {}).items()}
+    return RadioState(**d)

@@ -26,9 +26,9 @@ def _pair_nodes():
     # backlog_hwm high: the CPU test decodes slower than the pump writes,
     # and the live-edge watchdog must not drop the frame under test
     mk = lambda addr: NodeConfig(
-        window=4096, batch=2, overlap=2816, max_psdu=256, addr=addr,
-        rate_mbps=None, data_rate=12, ack_timeout_slots=250,
-        backlog_hwm=1 << 22)
+        window=4096, batch=2, overlap=2816, max_psdu=128, addr=addr,
+        rate_mbps=None, data_rate=12, min_rate_mbps=12,
+        ack_timeout_slots=250, backlog_hwm=1 << 22)
     a = StreamingNode(ring_a, mk(ADDR_A), tx_sink=TxSink(ring_b))
     b = StreamingNode(ring_b, mk(ADDR_B), tx_sink=TxSink(ring_a))
     return (ring_a, ring_b), (a, b)

@@ -34,7 +34,7 @@ def _traffic(n_frames, rng, rate=12, to=ADDR, gap=700):
 def node_setup():
     ring = RxRing(capacity=1 << 20)
     cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=256,
-                     addr=ADDR, rate_mbps=None)
+                     addr=ADDR, rate_mbps=None, min_rate_mbps=24)
     tx = TxSink()
     node = StreamingNode(ring, cfg, tx_sink=tx)
     yield ring, node, tx
@@ -123,7 +123,7 @@ def test_node_backlog_watchdog(rng):
     (the Seek(END_POS) backlog flush, rxstream.hpp:56-64)."""
     ring = RxRing(capacity=1 << 20)
     cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=256,
-                     addr=ADDR, backlog_hwm=32768)
+                     addr=ADDR, backlog_hwm=32768, min_rate_mbps=24)
     node = StreamingNode(ring, cfg)
     noise = (rng.normal(size=200_000) + 1j * rng.normal(size=200_000)
              ).astype(np.complex64) * 0.03
@@ -164,8 +164,8 @@ def test_node_11b_auto_rate_decodes_and_acks(rng):
 
     ring = RxRing(capacity=1 << 20)
     cfg = NodeConfig(phy="b", input_rate="11m", window=8192, batch=2,
-                     overlap=6144, max_psdu=256, addr=ADDR,
-                     sample_rate_sps=11e6)
+                     overlap=6144, max_psdu=72, min_rate_mbps=2,
+                     addr=ADDR, sample_rate_sps=11e6)
     tx = TxSink()
     node = StreamingNode(ring, cfg, tx_sink=tx)
     x, psdus = _traffic_b(rng)
@@ -187,7 +187,8 @@ def test_node_11b_auto_rate_decodes_and_acks(rng):
 def test_node_11b_cs_gates_idle_air(rng):
     ring = RxRing(capacity=1 << 20)
     cfg = NodeConfig(phy="b", input_rate="11m", window=8192, batch=2,
-                     overlap=6144, max_psdu=256, addr=ADDR)
+                     overlap=6144, max_psdu=72, min_rate_mbps=2,
+                     addr=ADDR)
     node = StreamingNode(ring, cfg)
     noise = (rng.normal(size=60000) + 1j * rng.normal(size=60000)
              ).astype(np.complex64) * 0.05
@@ -226,6 +227,7 @@ def test_node_11n_mimo_two_rings(rng):
     analogue), mixed-MCS auto dispatch, legacy-OFDM ACKs."""
     rings = [RxRing(capacity=1 << 20), RxRing(capacity=1 << 20)]
     cfg = NodeConfig(phy="n", window=4096, batch=2, overlap=2816,
+                     min_rate_mbps=9,
                      max_psdu=256, addr=ADDR)
     tx = TxSink()
     node = StreamingNode(rings, cfg, tx_sink=tx)
@@ -272,8 +274,9 @@ def _two_nodes(drop_first=0, ack_timeout_slots=250):
     ring_a = RxRing(capacity=1 << 22)
     ring_b = RxRing(capacity=1 << 22)
     mk = lambda addr: NodeConfig(
-        window=4096, batch=2, overlap=2816, max_psdu=256, addr=addr,
-        rate_mbps=None, data_rate=12, ack_timeout_slots=ack_timeout_slots)
+        window=4096, batch=2, overlap=2816, max_psdu=128, addr=addr,
+        rate_mbps=None, data_rate=12, min_rate_mbps=12,
+        ack_timeout_slots=ack_timeout_slots)
     # cross-wired rings: each node's TX feeds the other's RX (software air)
     tx_a = _LossyTxSink(ring_b, drop_first=drop_first)
     tx_b = TxSink(ring_a)
@@ -389,7 +392,7 @@ def test_node_runtime_reconfigure(rng):
     process_kb runtime reconfig (dot11main.cpp:148-204)."""
     ring = RxRing(capacity=1 << 20)
     cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=256,
-                     addr=ADDR, rate_mbps=None)
+                     addr=ADDR, rate_mbps=None, min_rate_mbps=24)
     node = StreamingNode(ring, cfg, tx_sink=TxSink())
     x, _ = _traffic(2, rng, rate=12)
     ring.write(x)
@@ -419,8 +422,9 @@ def test_node_beacons(rng):
     from sora_tpu.mac import mgmt
 
     ring = RxRing(capacity=1 << 20)
-    cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=256,
-                     addr=ADDR, beacon_interval_s=0.01, ssid="tpu-ap")
+    cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=128,
+                     min_rate_mbps=12, addr=ADDR, beacon_interval_s=0.01,
+                     ssid="tpu-ap")
     tx = TxSink()
     node = StreamingNode(ring, cfg, tx_sink=tx)
     # idle air so DIFS+backoff complete quickly
@@ -441,12 +445,13 @@ def test_two_nodes_auth_assoc_handshake(rng):
     handshake of the reference (mgmt.cpp, mgmt.h:17-83)."""
     ring_a = RxRing(capacity=1 << 22)
     ring_b = RxRing(capacity=1 << 22)
-    ap_cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=256,
+    ap_cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=128,
                         addr=ADDR, rate_mbps=None, data_rate=12,
-                        ack_timeout_slots=250, beacon_interval_s=1e9)
-    st_cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=256,
+                        min_rate_mbps=12, ack_timeout_slots=250,
+                        beacon_interval_s=1e9)
+    st_cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=128,
                         addr=PEER, rate_mbps=None, data_rate=12,
-                        ack_timeout_slots=250)
+                        min_rate_mbps=12, ack_timeout_slots=250)
     ap = StreamingNode(ring_a, ap_cfg, tx_sink=TxSink(ring_b))
     st = StreamingNode(ring_b, st_cfg, tx_sink=TxSink(ring_a))
     st.start_join(ADDR)
@@ -569,7 +574,7 @@ def test_node_agc_decodes_off_scale_input(rng, scale):
     boot (dot11main.cpp:121-146 + HwVeri AGC.cpp)."""
     ring = RxRing(capacity=1 << 22)
     cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=256,
-                     addr=ADDR, rate_mbps=None)
+                     addr=ADDR, rate_mbps=None, min_rate_mbps=24)
     assert cfg.agc
     node = StreamingNode(ring, cfg, tx_sink=TxSink())
     n = 8
@@ -612,7 +617,7 @@ def test_node_agc_idle_noise_never_cranks_gain(rng):
     only while a carrier is detected."""
     ring = RxRing(capacity=1 << 22)
     cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=256,
-                     addr=ADDR, rate_mbps=None)
+                     addr=ADDR, rate_mbps=None, min_rate_mbps=24)
     node = StreamingNode(ring, cfg, tx_sink=TxSink())
     for _ in range(10):
         ring.write((rng.normal(size=8192) + 1j * rng.normal(size=8192)
@@ -629,7 +634,8 @@ def test_node_i8_wire_decodes(rng):
     traffic decodes — including off-scale input the AGC first adapts."""
     ring = RxRing(capacity=1 << 22)
     cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=256,
-                     addr=ADDR, rate_mbps=None, wire="i8")
+                     addr=ADDR, rate_mbps=None, wire="i8",
+                     min_rate_mbps=24)
     node = StreamingNode(ring, cfg, tx_sink=TxSink())
     n = 8
     x, psdus = _traffic(n, rng, rate=12)
@@ -655,6 +661,7 @@ def test_node_11n_single_stream_mcs(rng):
 
     rings = [RxRing(capacity=1 << 20), RxRing(capacity=1 << 20)]
     cfg = NodeConfig(phy="n", window=4096, batch=2, overlap=2816,
+                     min_rate_mbps=9,
                      max_psdu=256, addr=ADDR, mcs=4)
     node = StreamingNode(rings, cfg, tx_sink=TxSink())
     while True:
@@ -695,6 +702,7 @@ def test_node_11n_auto_mixed_stream_classes(rng):
 
     rings = [RxRing(capacity=1 << 20), RxRing(capacity=1 << 20)]
     cfg = NodeConfig(phy="n", window=4096, batch=2, overlap=2816,
+                     min_rate_mbps=9,
                      max_psdu=256, addr=ADDR)
     node = StreamingNode(rings, cfg, tx_sink=TxSink())
     while True:
@@ -741,6 +749,7 @@ def test_node_reconfigure_across_stream_classes(rng):
 
     rings = [RxRing(capacity=1 << 20), RxRing(capacity=1 << 20)]
     cfg = NodeConfig(phy="n", window=4096, batch=2, overlap=2816,
+                     min_rate_mbps=9,
                      max_psdu=256, addr=ADDR, mcs=9)
     node = StreamingNode(rings, cfg, tx_sink=TxSink())
 

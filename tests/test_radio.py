@@ -81,8 +81,8 @@ def test_radio_feeds_node_through_tuning_and_gain(rng):
     radio.attach_air(air, freq_hz=2.422e9, rate_sps=20e6)
     radio.set_rx_gain(-20.0)
     radio.set_central_freq(2.422e9 + 90e3)
-    cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=256,
-                     addr=ADDR, rate_mbps=None)
+    cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=128,
+                     addr=ADDR, rate_mbps=None, min_rate_mbps=12)
     node = StreamingNode(ring, cfg, tx_sink=TxSink())
     radio.start_rx()
     idle = 0
@@ -126,8 +126,8 @@ def test_channel_model_multipath_cfo_sfo_through_node(rng):
         taps=[(0, 1.0), (3, 0.45 * np.exp(0.9j)),
               (7, 0.2 * np.exp(-2.1j)), (11, 0.08 * np.exp(0.3j))],
         doppler_hz=55e3, sfo_ppm=20.0, noise_rms=0.01, seed=5))
-    cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=256,
-                     addr=ADDR, rate_mbps=None)
+    cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=128,
+                     addr=ADDR, rate_mbps=None, min_rate_mbps=12)
     node = StreamingNode(ring, cfg, tx_sink=TxSink())
     radio.start_rx()
     idle = 0

@@ -45,7 +45,8 @@ def _run(sniffer, ring):
 
 def test_sniffer_captures_everything(rng, tmp_path):
     ring = RxRing(capacity=1 << 20)
-    cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=256)
+    cfg = NodeConfig(window=4096, batch=2, overlap=2816, max_psdu=256,
+                     min_rate_mbps=24)
     pcap = str(tmp_path / "cap.pcap")
     out = io.StringIO()
     sn = Sniffer(ring, cfg, pcap_path=pcap, out=out)

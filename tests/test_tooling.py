@@ -167,14 +167,15 @@ def test_layered_config(tmp_path, monkeypatch):
     from sora_tpu.util.config import dump_config, load_config
 
     f = tmp_path / "node.json"
-    f.write_text('{"window": 2048, "batch": 4, "ack_rate": 12}')
+    f.write_text('{"window": 2048, "batch": 4, "ack_rate": 12, '
+                 '"max_psdu": 64, "min_rate_mbps": 24}')
     monkeypatch.setenv("SORA_BATCH", "16")
     cfg = load_config(NodeConfig, path=str(f),
                       overrides={"ack_rate": 24, "window": None})
     assert cfg.window == 2048          # file layer
     assert cfg.batch == 16             # env beats file
     assert cfg.ack_rate == 24          # override beats env+file
-    assert cfg.max_psdu == 2500        # dataclass default survives
+    assert cfg.phy == "a"              # dataclass default survives
     # round-trip through JSON keeps bytes fields
     import json
     d = json.loads(dump_config(cfg))
@@ -246,5 +247,27 @@ def test_bridge_cli_selftest():
     from sora_tpu.apps import bridge as appbridge
 
     rc = appbridge.main(["--pair", "--sockets", "--selftest",
-                         "--seconds", "30"])
+                         "--seconds", "30", "--mtu", "256",
+                         "--window", "8192"])
     assert rc == 0
+
+
+def test_usereg_cli_roundtrip(tmp_path, capsys):
+    """Scripted register/knob read-write round trip through the usereg
+    CLI (usr/usereg/usereg/usereg.cpp analogue over the persisted
+    RADIO_CONTEXT image)."""
+    from sora_tpu.apps import usereg
+    from sora_tpu.runtime.radio import load_state
+
+    st = str(tmp_path / "radio.json")
+    assert usereg.main(["--state", st, "wr", "0x20", "0xBEEF"]) == 0
+    assert usereg.main(["--state", st, "rr", "0x20"]) == 0
+    assert capsys.readouterr().out.strip() == "0x0000BEEF"
+    assert usereg.main(["--state", st, "set", "rxgain", "7.5"]) == 0
+    assert usereg.main(["--state", st, "get", "rxgain"]) == 0
+    assert capsys.readouterr().out.strip() == "7.5"
+    state = load_state(st)
+    assert state.registers[0x20] == 0xBEEF
+    assert state.rx_gain_db == 7.5
+    assert usereg.main(["--state", st, "dump"]) == 0
+    assert "rx_gain_db" in capsys.readouterr().out
