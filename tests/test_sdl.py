@@ -40,7 +40,7 @@ def test_radio_loopback_rx(rng):
     from sora_tpu.mac.frame import MacHeader, append_fcs
 
     with Radio(phy="a", window=4096, batch=2, overlap=2816,
-               min_rate_mbps=12) as r:
+               max_psdu=128, min_rate_mbps=12) as r:
         hdr = MacHeader(addr1=ADDR, addr2=PEER, addr3=ADDR, seq_ctrl=16)
         psdu = append_fcs(hdr.pack() + b"sdl radio payload")
         w = g.modulate(psdu, 12).astype(np.complex64)
