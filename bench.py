@@ -197,15 +197,25 @@ def main():
     arr = np.repeat(np.frombuffer(psdu, np.uint8)[None, :], B, axis=0)
     ad = jax.device_put(arr)
     wlen = int(jtx.modulate(ad, rate, arr.shape[1]).shape[1])
-    txf = lambda: jnp.real(jtx.modulate(ad, rate, arr.shape[1])[:, ::997])
-    np.asarray(txf())
+    # dispatch-free: 10 chained modulates in one jit (the carry's data
+    # dependency defeats CSE); the per-call number jitters +-50% with
+    # tunnel load and under-reports by the ~0.5-0.8 ms dispatch cost
+    @jax.jit
+    def _txchain(a):
+        def body(c, _):
+            w = jtx.modulate(a ^ c, rate, arr.shape[1])
+            return (jnp.abs(jnp.real(w[0, 100])) > 1e9
+                    ).astype(jnp.uint8), None
+        c, _ = jax.lax.scan(body, jnp.uint8(0), None, length=10)
+        return c
+    np.asarray(_txchain(ad))
     t0 = time.perf_counter()
-    for _ in range(30):
-        o = txf()
+    for _ in range(10):
+        o = _txchain(ad)
     np.asarray(o)
-    tdt = (time.perf_counter() - t0) / 30
+    tdt = (time.perf_counter() - t0) / 100
     tx_msps = B * wlen / tdt / 1e6
-    log(f"  11a 54 Mbps TX modulate: {tx_msps:.1f} Msamples/s "
+    log(f"  11a 54 Mbps TX modulate: {tx_msps:.1f} Msamples/s device "
         f"({tx_msps/20.0:.1f}x realtime), {B*psdu_len*8/tdt/1e6:.0f} "
         f"Mbps encoded")
 
