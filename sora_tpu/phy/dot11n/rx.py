@@ -465,12 +465,15 @@ def rx_pipeline(x: jnp.ndarray, mcs: int, max_psdu: int = MAX_PSDU,
 # 2x2 inverse — the same shapes as the legacy-coded SIG symbols.
 
 
-@partial(jax.jit, static_argnames=("nsym", "short_gi"))
+@partial(jax.jit, static_argnames=("nsym", "short_gi",
+                                   "return_weights"))
 def extract_symbols_1ss(x: jnp.ndarray, lts1: jnp.ndarray,
                         cfo: jnp.ndarray, nsym: int,
-                        short_gi: bool = False):
+                        short_gi: bool = False,
+                        return_weights: bool = False):
     """Front end for single-stream HT frames.  x: (B, 2, N).
-    Returns (sig_eq (B, 3, 48), xd (B, nsym, 52), snr_db (B,))."""
+    Returns (sig_eq (B, 3, 48), xd (B, nsym, 52), snr_db (B,)[, wgt
+    (B, 52) per-subcarrier MRC confidence for LLR weighting])."""
     B, A, Nn = x.shape
     per = 72 if short_gi else 80
     gi = per - 64
@@ -501,7 +504,10 @@ def extract_symbols_1ss(x: jnp.ndarray, lts1: jnp.ndarray,
     sig_eq = jnp.stack([lsig, ht1, ht2], axis=1) / gain[:, None, :]
 
     if nsym == 0:
-        return sig_eq, jnp.zeros((B, 0, 52), jnp.complex64), snr_db
+        z = jnp.zeros((B, 0, 52), jnp.complex64)
+        if return_weights:
+            return sig_eq, z, snr_db, jnp.ones((B, 52), jnp.float32)
+        return sig_eq, z, snr_db
 
     # (2 x 1) channel column from the single HT-LTF
     lseq_full = np.ones(64, np.float32)
@@ -532,6 +538,12 @@ def extract_symbols_1ss(x: jnp.ndarray, lts1: jnp.ndarray,
     k52 = jnp.asarray(N.HT_DATA_SC.astype(np.float32))
     E = E[:, :, jnp.asarray(N.HT_DATA_BINS)] * jnp.exp(
         -1j * (ph[:, :, None] + slope[:, :, None] * k52[None, None, :]))
+    if return_weights:
+        # post-MRC inverse noise amplification = the combining gain
+        # sum_a |H_ak|^2 itself (E is unbiased); unit-mean normalized
+        wgt = den[:, 0, jnp.asarray(N.HT_DATA_BINS)]
+        wgt = wgt / (jnp.mean(wgt, axis=-1, keepdims=True) + 1e-20)
+        return sig_eq, E, snr_db, wgt.astype(jnp.float32)
     return sig_eq, E, snr_db
 
 
@@ -553,11 +565,16 @@ def _mcs1_symbol_matrix(mcs: int) -> np.ndarray:
 
 @partial(jax.jit, static_argnames=("mcs", "max_psdu"))
 def decode_data_1ss(xd: jnp.ndarray, length: jnp.ndarray, mcs: int,
-                    max_psdu: int = MAX_PSDU):
-    """xd: (B, nsym_max, 52) MRC-combined carriers -> (psdu, fcs_ok)."""
+                    max_psdu: int = MAX_PSDU,
+                    weights: jnp.ndarray = None):
+    """xd: (B, nsym_max, 52) MRC-combined carriers -> (psdu, fcs_ok).
+    weights: optional (B, 52) per-subcarrier LLR confidence."""
     m = N.MCS1[mcs]
     B, nsym_max = xd.shape[0], xd.shape[1]
     soft = dmap.demap_soft(xd, m.modulation)       # (B, nsym, ncbpss)
+    if weights is not None:
+        soft = soft * jnp.repeat(weights, _NBPSC[m.modulation],
+                                 axis=-1)[:, None, :]
     nbits = 16 + 8 * length + 6
     nsym_actual = -(-nbits // m.ndbps)
     symi = jnp.arange(nsym_max)[None, :]
@@ -579,12 +596,12 @@ def rx_pipeline_1ss(x: jnp.ndarray, mcs: int, max_psdu: int = MAX_PSDU,
     nsym_win = max(1, (int(x.shape[-1]) - _OFF_DATA_1SS) // per)
     nsym = min(max_symbols(mcs, max_psdu), nsym_win)
     lts1, cfo, det = synchronize(x)
-    sig_eq, xd, snr_db = extract_symbols_1ss(x, lts1, cfo, nsym,
-                                             short_gi)
+    sig_eq, xd, snr_db, wgt = extract_symbols_1ss(
+        x, lts1, cfo, nsym, short_gi, return_weights=True)
     lsig_ok = decode_lsig(sig_eq[:, 0])
     mcs_rx, length, htsig_ok, sgi_rx = decode_htsig(sig_eq[:, 1:])
     length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
-    psdu, fcs_ok = decode_data_1ss(xd, length, mcs, max_psdu)
+    psdu, fcs_ok = decode_data_1ss(xd, length, mcs, max_psdu, wgt)
     sig_ok = lsig_ok & htsig_ok
     cs_ok = det >= CS_DET_THRESHOLD
     ok = (cs_ok & sig_ok & (mcs_rx == mcs) & fcs_ok
@@ -632,7 +649,8 @@ def rx_pipeline_auto_1ss(x: jnp.ndarray, max_psdu: int = MAX_PSDU):
     mats, nsyms, ndbps_tab, nsym_max, t_max = _auto_tables_1ss(max_psdu,
                                                                nsym_win)
     lts1, cfo, det = synchronize(x)
-    sig_eq, xd, snr_db = extract_symbols_1ss(x, lts1, cfo, nsym_max)
+    sig_eq, xd, snr_db, wgt = extract_symbols_1ss(
+        x, lts1, cfo, nsym_max, return_weights=True)
     B = sig_eq.shape[0]
     lsig_ok = decode_lsig(sig_eq[:, 0])
     mcs_rx, length, htsig_ok, sgi_rx = decode_htsig(sig_eq[:, 1:])
@@ -645,6 +663,10 @@ def rx_pipeline_auto_1ss(x: jnp.ndarray, max_psdu: int = MAX_PSDU):
 
     soft_cat = jnp.concatenate(
         [dmap.demap_soft(xd, mod) for mod in _MOD_ORDER], axis=-1)
+    we = jnp.concatenate(
+        [jnp.repeat(wgt, _NBPSC[mod], axis=-1) for mod in _MOD_ORDER],
+        axis=-1)                                   # (B, 676)
+    soft_cat = soft_cat * we[:, None, :]
     ndbps = jnp.asarray(ndbps_tab)[mcs_idx]
     nbits = 16 + 8 * length + 6
     nsym_actual = (nbits + ndbps - 1) // ndbps
@@ -887,9 +909,10 @@ def demodulate(x, expect_mcs: int | None = None) -> RxResult:
         return res
     nsym = max_symbols(mcs)
     if one_ss:
-        _, xd, _ = extract_symbols_1ss(xb, lts1, cfo, nsym, sgi)
+        _, xd, _, wgt = extract_symbols_1ss(xb, lts1, cfo, nsym, sgi,
+                                            return_weights=True)
         psdu, fcs_ok = decode_data_1ss(
-            xd, jnp.asarray([res.length], jnp.int32), mcs)
+            xd, jnp.asarray([res.length], jnp.int32), mcs, weights=wgt)
     else:
         _, xd, _, wgt = extract_symbols(xb, lts1, cfo, nsym, sgi,
                                         return_weights=True)

@@ -145,3 +145,46 @@ def test_11n_weighted_mmse_beats_plain_zf_under_multipath(rng):
     ref = int(np.asarray(nrx.rx_pipeline(
         xn, mcs, max_psdu=128, mmse=False, weighted=False)["ok"]).sum())
     assert ours >= ref + 5, (ours, ref, n)
+
+
+def test_11n_1ss_mrc_llr_weighting_helps_under_multipath():
+    """Single-stream SIMO: weighting soft bits by the per-subcarrier MRC
+    gain (sum_a |H_ak|^2) beats equal-weight demap on a
+    frequency-selective channel (12 vs 8 of 24 frames at 21 dB with
+    these seeds) — crushed subcarriers become near-erasures."""
+    import jax.numpy as jnp
+
+    from sora_tpu.golden import dot11n_np as gn
+    from sora_tpu.phy.dot11n import rx as nrx
+
+    n, mcs, snr = 24, 7, 21.0
+    rng = np.random.default_rng(5)
+    psdus = [fr.build_data_frame(bytes(rng.integers(0, 256, 72,
+                                                    dtype=np.uint8)),
+                                 seq=i) for i in range(n)]
+    waves = [np.asarray(gn.modulate(p, mcs))[0] for p in psdus]
+    N = max(len(v) for v in waves) + 320
+    x = np.zeros((n, 2, N), np.complex64)
+    ch = np.random.default_rng(31)
+    for i, v in enumerate(waves):
+        for a in range(2):
+            y = np.zeros(len(v) + 12, np.complex128)
+            for d, p in zip((0, 3, 7, 12), (1.0, 0.5, 0.25, 0.12)):
+                h = (ch.normal() + 1j * ch.normal()) * np.sqrt(p / 2)
+                y[d: d + len(v)] += h * v
+            x[i, a, 40: 40 + len(y)] = y
+    sig_p = float(np.mean(np.abs(x) ** 2) * N / (N - 320))
+    sigma = np.sqrt(sig_p / (2.0 * 10 ** (snr / 10.0)))
+    rng_n = np.random.default_rng(121)
+    xn = jnp.asarray(x + sigma * (
+        rng_n.normal(size=x.shape) + 1j * rng_n.normal(size=x.shape)
+    ).astype(np.complex64))
+    lts1, cfo, det = nrx.synchronize(xn)
+    nsym = nrx.max_symbols(mcs, 128)
+    _, xd, _, wgt = nrx.extract_symbols_1ss(xn, lts1, cfo, nsym, False,
+                                            return_weights=True)
+    L = jnp.full((n,), len(psdus[0]), jnp.int32)
+    _, fw = nrx.decode_data_1ss(xd, L, mcs, 128, wgt)
+    _, fu = nrx.decode_data_1ss(xd, L, mcs, 128)
+    ours, ref = int(np.asarray(fw).sum()), int(np.asarray(fu).sum())
+    assert ours >= ref + 3, (ours, ref)
