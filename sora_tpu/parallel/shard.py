@@ -319,10 +319,12 @@ def _sharded_a_fixed(mesh: Mesh, rate_mbps: int, max_psdu: int):
         lts1, cfo, _det = sync(xb)
         xd = wsc(xb, all_axes)
         l1, cf = wsc(lts1, bspec), wsc(cfo, bspec)
-        eq, snr_db = arx.extract_symbols(xd, l1, cf, nsym)
+        eq, snr_db, wgt = arx.extract_symbols(xd, l1, cf, nsym,
+                                              return_weights=True)
         rate_bits, length, sig_ok = arx.decode_signal(eq[:, 0, :])
         length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
-        psdu, fcs_ok, _ = arx.decode_data(eq[:, 1:, :], length, rate_mbps)
+        psdu, fcs_ok, _ = arx.decode_data(eq[:, 1:, :], length, rate_mbps,
+                                          wgt)
         ok = sig_ok & (rate_bits == rate.rate_bits) & fcs_ok
         return {"psdu": psdu, "ok": ok.astype(jnp.uint8),
                 "fcs_ok": fcs_ok.astype(jnp.uint8),
@@ -361,8 +363,9 @@ def _sharded_a_auto(mesh: Mesh, max_psdu: int, n_samples: int):
         lts1, cfo, det = sync(xb)
         xd = wsc(xb, all_axes)
         l1, cf, dt = (wsc(v, bspec) for v in (lts1, cfo, det))
-        eq, snr_db = arx.extract_symbols(xd, l1, cf, nsym_max)
-        out = arx.auto_tail(eq, dt, max_psdu, nsym_win)
+        eq, snr_db, wgt = arx.extract_symbols(xd, l1, cf, nsym_max,
+                                              return_weights=True)
+        out = arx.auto_tail(eq, dt, max_psdu, nsym_win, weights=wgt)
         out["snr_db"] = snr_db
         return out
 

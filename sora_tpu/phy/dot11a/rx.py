@@ -239,9 +239,10 @@ def _pilot_slope(pv: jnp.ndarray, window: int = 8) -> jnp.ndarray:
     return tot / jnp.asarray((s_idx + 1 - lo).astype(np.float32))
 
 
-@partial(jax.jit, static_argnames=("nsym",))
+@partial(jax.jit, static_argnames=("nsym", "return_weights"))
 def extract_symbols(x: jnp.ndarray, lts1: jnp.ndarray, cfo: jnp.ndarray,
-                    nsym: int):
+                    nsym: int,
+                    return_weights: bool = False):
     """Equalized data carriers for SIGNAL + nsym data symbols.
 
     x: (B, N); lts1/cfo from :func:`synchronize`.  Returns
@@ -298,6 +299,16 @@ def extract_symbols(x: jnp.ndarray, lts1: jnp.ndarray, cfo: jnp.ndarray,
     eq = E[:, :, jnp.asarray(C.DATA_BINS)]
     # gain-normalize so demap soft scaling holds for any TX amplitude
     gain = jnp.mean(jnp.abs(eq[:, 0, :]), axis=-1) + 1e-12
+    if return_weights:
+        # per-subcarrier LLR confidence for the decode tail: the ZF
+        # output's inverse noise amplification is |H_k|^2 (unit-mean
+        # normalized) — under a dispersive channel, crushed subcarriers
+        # contribute near-erasures instead of full-confidence garbage
+        # (the reference's equal-weight demap LUTs, dsp_demap.h, throw
+        # this information away)
+        wgt = jnp.abs(H[:, jnp.asarray(C.DATA_BINS)]) ** 2
+        wgt = wgt / (jnp.mean(wgt, axis=-1, keepdims=True) + 1e-20)
+        return eq / gain[:, None, None], snr_db, wgt.astype(jnp.float32)
     return eq / gain[:, None, None], snr_db
 
 
@@ -430,17 +441,22 @@ def _rate_symbol_matrix(rate_mbps: int) -> np.ndarray:
 
 
 @partial(jax.jit, static_argnames=("rate_mbps",))
-def decode_data(eq: jnp.ndarray, length: jnp.ndarray, rate_mbps: int):
+def decode_data(eq: jnp.ndarray, length: jnp.ndarray, rate_mbps: int,
+                weights: jnp.ndarray = None):
     """Decode data symbols for one rate.
 
     eq: (B, nsym_max, 48) equalized data carriers (SIGNAL already removed);
-    length: (B,) PSDU byte counts from SIGNAL.  Returns
+    length: (B,) PSDU byte counts from SIGNAL; weights: optional (B, 48)
+    per-subcarrier LLR confidence from
+    extract_symbols(return_weights=True).  Returns
     (psdu (B, MAX_PSDU) uint8, fcs_ok (B,) bool, nbits_used (B,)).
     """
     rate = C.RATES[rate_mbps]
     B, nsym_max, _ = eq.shape
 
     soft = dmap.demap_soft(eq, rate.modulation)       # (B, nsym, ncbps)
+    if weights is not None:
+        soft = soft * jnp.repeat(weights, rate.nbpsc, axis=-1)[:, None, :]
     # mask symbols beyond each frame's actual extent -> erasures
     nbits = 16 + 8 * length + 6
     nsym_actual = -(-nbits // rate.ndbps)
@@ -508,6 +524,7 @@ def _finish_frame(bits: jnp.ndarray, length: jnp.ndarray, t_steps: int):
 
 _RATE_LIST = sorted(C.RATES)                       # mbps, idx 0..7
 _MOD_ORDER = ("bpsk", "qpsk", "qam16", "qam64")
+_MOD_NBPSC = {"bpsk": 1, "qpsk": 2, "qam16": 4, "qam64": 6}
 _MOD_OFF = {"bpsk": 0, "qpsk": 48, "qam16": 144, "qam64": 336}
 _MOD_W = 624                                       # 48+96+192+288
 
@@ -631,9 +648,11 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
             x = jnp.repeat(x, n_frames, axis=0)
     else:
         lts1, cfo, det = synchronize(x)
-    eq, snr_db = extract_symbols(x, lts1, cfo, nsym_max)
+    eq, snr_db, wgt = extract_symbols(x, lts1, cfo, nsym_max,
+                                      return_weights=True)
     out = auto_tail(eq, det, max_psdu, min(nsym_win, nsym_air),
-                    det_threshold, lts1=lts1, n_samples=int(x.shape[1]))
+                    det_threshold, lts1=lts1, n_samples=int(x.shape[1]),
+                    weights=wgt)
     out.update({"snr_db": snr_db, "lts1": lts1, "cfo": cfo})
     if src is not None:
         out["src"] = src
@@ -646,7 +665,8 @@ def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
                                    "det_threshold", "n_samples"))
 def auto_tail(eq: jnp.ndarray, det: jnp.ndarray, max_psdu: int,
               nsym_cap: int, det_threshold: float = CS_DET_THRESHOLD,
-              lts1: jnp.ndarray | None = None, n_samples: int = 0):
+              lts1: jnp.ndarray | None = None, n_samples: int = 0,
+              weights: jnp.ndarray = None):
     """SIGNAL parse + mixed-rate data decode from equalized carriers —
     the shared back half of :func:`rx_pipeline_auto`, also driven
     batch-parallel by the sharded pipeline (parallel.shard).
@@ -666,6 +686,11 @@ def auto_tail(eq: jnp.ndarray, det: jnp.ndarray, max_psdu: int,
     data = eq[:, 1:, :]                                # (B, nsym_max, 48)
     soft_cat = jnp.concatenate(
         [dmap.demap_soft(data, m) for m in _MOD_ORDER], axis=-1)
+    if weights is not None:
+        we = jnp.concatenate(
+            [jnp.repeat(weights, _MOD_NBPSC[m], axis=-1)
+             for m in _MOD_ORDER], axis=-1)            # (B, 624)
+        soft_cat = soft_cat * we[:, None, :]
     # erase symbols beyond each frame's actual extent
     ndbps = jnp.asarray(ndbps_tab)[rate_idx]           # (B,)
     nbits = 16 + 8 * length + 6
@@ -739,10 +764,12 @@ def rx_pipeline(x: jnp.ndarray, rate_mbps: int, max_psdu: int = MAX_PSDU,
     nsym_win = max(1, (int(x.shape[1]) - 208) // 80)
     nsym = min(max_symbols(rate, max_psdu), nsym_win)
     lts1, cfo, det = synchronize(x)
-    eq, snr_db = extract_symbols(x, lts1, cfo, nsym)
+    eq, snr_db, wgt = extract_symbols(x, lts1, cfo, nsym,
+                                      return_weights=True)
     rate_bits, length, sig_ok = decode_signal(eq[:, 0, :])
     length = jnp.clip(length, 0, max_psdu).astype(jnp.int32)
-    psdu, fcs_ok, nbits = decode_data(eq[:, 1:, :], length, rate_mbps)
+    psdu, fcs_ok, nbits = decode_data(eq[:, 1:, :], length, rate_mbps,
+                                      wgt)
     cs_ok = det > CS_DET_THRESHOLD
     ok = cs_ok & sig_ok & (rate_bits == rate.rate_bits) & fcs_ok
     nsym_actual = (nbits + rate.ndbps - 1) // rate.ndbps
@@ -827,9 +854,10 @@ def demodulate(x, expect_rate: int | None = None,
     while nsym < nsym_actual:
         nsym *= 2
     nsym = min(nsym, max_symbols(rate))
-    eq, _ = extract_symbols(xb, lts1, cfo, nsym)
+    eq, _, wgt = extract_symbols(xb, lts1, cfo, nsym,
+                                 return_weights=True)
     psdu, fcs_ok, _ = decode_data(eq[:, 1:, :], length.astype(jnp.int32),
-                                  rate.mbps)
+                                  rate.mbps, wgt)
     res.psdu = bytes(np.asarray(psdu[0])[: res.length])
     res.fcs_ok = bool(fcs_ok.astype(jnp.uint8)[0])
     res.ok = res.fcs_ok

@@ -188,3 +188,43 @@ def test_11n_1ss_mrc_llr_weighting_helps_under_multipath():
     _, fu = nrx.decode_data_1ss(xd, L, mcs, 128)
     ours, ref = int(np.asarray(fw).sum()), int(np.asarray(fu).sum())
     assert ours >= ref + 3, (ours, ref)
+
+
+def test_11a_subcarrier_llr_weighting_helps_under_multipath():
+    """The 11a decode tail weights soft bits by per-subcarrier |H_k|^2
+    (the ZF output's inverse noise amplification): under a 4-tap in-CP
+    channel this decodes 12 vs 8 of 24 54 Mbps frames at 24 dB with
+    these seeds — information the reference's equal-weight demap LUTs
+    (dsp_demap.h) discard."""
+    import jax.numpy as jnp
+
+    n, rate, snr = 24, 54, 24.0
+    rng = np.random.default_rng(8)
+    psdus = [fr.build_data_frame(bytes(rng.integers(0, 256, 72,
+                                                    dtype=np.uint8)),
+                                 seq=i) for i in range(n)]
+    waves = [g.modulate(p, rate) for p in psdus]
+    N = max(len(w) for w in waves) + 320
+    x = np.zeros((n, N), np.complex64)
+    ch = np.random.default_rng(44)
+    for i, w in enumerate(waves):
+        y = np.zeros(len(w) + 12, np.complex128)
+        for d, p in zip((0, 3, 7, 12), (1.0, 0.5, 0.25, 0.12)):
+            h = (ch.normal() + 1j * ch.normal()) * np.sqrt(p / 2)
+            y[d: d + len(w)] += h * w
+        x[i, 40: 40 + len(y)] = y
+    sig_p = float(np.mean(np.abs(x) ** 2) * N / (N - 320))
+    sigma = np.sqrt(sig_p / (2.0 * 10 ** (snr / 10.0)))
+    rng_n = np.random.default_rng(224)
+    xn = jnp.asarray(x + sigma * (
+        rng_n.normal(size=x.shape) + 1j * rng_n.normal(size=x.shape)
+    ).astype(np.complex64))
+    lts1, cfo, det = jrx.synchronize(xn)
+    nsym = jrx.max_symbols(jrx.C.RATES[rate], 128)
+    eq, _, wgt = jrx.extract_symbols(xn, lts1, cfo, nsym,
+                                     return_weights=True)
+    L = jnp.full((n,), len(psdus[0]), jnp.int32)
+    _, fw, _ = jrx.decode_data(eq[:, 1:, :], L, rate, wgt)
+    _, fu, _ = jrx.decode_data(eq[:, 1:, :], L, rate)
+    ours, ref = int(np.asarray(fw).sum()), int(np.asarray(fu).sum())
+    assert ours >= ref + 3, (ours, ref)
