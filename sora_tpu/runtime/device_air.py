@@ -160,8 +160,12 @@ class DeviceAir:
         def put(i, a):
             e = descs[i, 0]
             off = jnp.clip(descs[i, 1], 0, self.nsamp)
-            amp = jnp.where(e >= 0, descs[i, 2].astype(jnp.float32)
-                            * 1e-3, 0.0)
+            # complex per-transmission amplitude (milli-units): a
+            # multipath tap is just an extra descriptor with a delayed
+            # offset and a complex gain
+            amp = jnp.where(e >= 0, jax.lax.complex(
+                descs[i, 2].astype(jnp.float32),
+                descs[i, 3].astype(jnp.float32)) * 1e-3, 0.0 + 0.0j)
             w = cache[jnp.maximum(e, 0)] * amp
             cur = jax.lax.dynamic_slice(a, (off,), (self.L,))
             return jax.lax.dynamic_update_slice(a, cur + w, (off,))
@@ -210,10 +214,12 @@ class DeviceAir:
         of per-receiver output dicts of LAZY device arrays plus this
         round's global base sample index."""
         assert len(tx) <= self.slots, (len(tx), self.slots)
-        descs = np.full((self.slots, 3), -1, np.int32)
+        descs = np.full((self.slots, 4), -1, np.int32)
         for i, (e, off, amp) in enumerate(tx):
-            assert 0 <= off < self.advance, off
-            descs[i] = (e, off, int(round(amp * 1000.0)))
+            assert 0 <= off < self.nsamp, off
+            amp = complex(amp)
+            descs[i] = (e, off, int(round(amp.real * 1000.0)),
+                        int(round(amp.imag * 1000.0)))
         outs, self._carry = self._fn(self._cache, self._carry, self._key,
                                      jnp.int32(self.round_idx),
                                      jnp.asarray(descs))

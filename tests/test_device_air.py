@@ -137,3 +137,21 @@ def test_batchmac_conversation_with_loss():
     assert ma.stats.retransmits >= 1          # the loss round forced one
     assert mb.stats.delivered == 6
     assert data_len <= air.max_psdu and ba_len <= air.max_psdu
+
+
+def test_multipath_taps_as_descriptors():
+    """On-device propagation synthesis: a transmission plus delayed
+    complex-gain descriptors (one per tap) decodes through the 4-tap
+    in-CP channel — the impaired real-time soak's mechanism."""
+    psdu = fr.build_data_frame(b"M" * 100, seq=2)
+    w = g.modulate(psdu, 24)
+    air = _mk_air([w], min_rate_mbps=24, slots=8)
+    taps = [(0, 1.0), (3, 0.45 * np.exp(0.9j)),
+            (7, 0.2 * np.exp(-2.1j)), (11, 0.08 * np.exp(0.3j))]
+    outs, base = air.step([(0, 600 + d, c) for d, c in taps])
+    assert _match(air, outs[0], base, 600)
+    hdr = np.asarray(outs[0]["hdr"])
+    ok = np.asarray(outs[0]["ok"]).astype(bool)
+    want = np.frombuffer(psdu[: air.hdr_bytes], np.uint8)
+    assert any(np.array_equal(hdr[i][: len(want)], want)
+               for i in range(len(ok)) if ok[i])

@@ -41,10 +41,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 SPS = 20e6
 
 
-def make_rx_soak_air(seed: int = 7):
+# in-CP multipath taps for --channel mode: each transmission becomes
+# one descriptor per tap (delayed offset, complex gain) — propagation
+# synthesized ON DEVICE in the same scatter pass as the clean air
+CH_TAPS = [(0, 1.0), (3, 0.45 * np.exp(0.9j)),
+           (7, 0.2 * np.exp(-2.1j)), (11, 0.08 * np.exp(0.3j))]
+
+
+def make_rx_soak_air(seed: int = 7, channel: bool = False):
     """The canonical saturated-soak air: 64 cached 1492-byte 54 Mbps
     frames, 64x32768-sample windows, overlap 6144.  bench.py uses the
-    SAME constructor so the driver's bench hits a warm compile cache."""
+    SAME constructor so the driver's bench hits a warm compile cache.
+    ``channel`` widens the descriptor budget for tap-expanded TX."""
     from sora_tpu.golden import dot11a_np as g
     from sora_tpu.mac import frame as fr
     from sora_tpu.runtime.device_air import DeviceAir
@@ -56,15 +64,21 @@ def make_rx_soak_air(seed: int = 7):
     waves = [g.modulate(p, 54).astype(np.complex64) for p in psdus]
     span = max(len(w) for w in waves)
     air = DeviceAir(waves, window=32768, batch=64, overlap=6144,
-                    n_frames=7, n_decode=0, slots=384, noise_rms=0.02,
+                    n_frames=7, n_decode=0,
+                    slots=1408 if channel else 384, noise_rms=0.02,
                     max_psdu=1504, hdr_bytes=64, min_rate_mbps=54,
                     seed=seed)
-    assert span <= air.overlap, (span, air.overlap)
+    assert span + CH_TAPS[-1][0] <= air.overlap, (span, air.overlap)
     return air, psdus, span
 
 
-def run_rx_soak(seconds: float, depth: int, log) -> dict:
-    air, psdus, span = make_rx_soak_air()
+def run_rx_soak(seconds: float, depth: int, log,
+                channel: bool = False) -> dict:
+    air, psdus, span = make_rx_soak_air(channel=channel)
+    taps = CH_TAPS if channel else [(0, 1.0)]
+    if channel:
+        log("channel: 4-tap in-CP multipath synthesized on device "
+            "(one descriptor per tap)")
     gap = 640                            # 32 us inter-frame spacing
     period = span + gap
     adv = air.advance
@@ -115,7 +129,8 @@ def run_rx_soak(seconds: float, depth: int, log) -> dict:
         expect = []
         while next_off < base + adv:     # tails spill into the carry
             e = (next_off // period) % 64
-            tx.append((int(e), int(next_off - base), 1.0))
+            for d, c in taps:
+                tx.append((int(e), int(next_off - base + d), c))
             expect.append(next_off)
             next_off += period
         scheduled += len(expect)
@@ -140,7 +155,8 @@ def run_rx_soak(seconds: float, depth: int, log) -> dict:
         f"-> ratio {ratio:.3f}; delivered {delivered}/{scheduled} "
         f"({ok_rows} ok candidate rows)")
     assert delivered == scheduled, (delivered, scheduled)
-    return {"mode": "rx", "air_seconds": round(air_t, 2),
+    return {"mode": "rx", "channel": bool(channel),
+            "air_seconds": round(air_t, 2),
             "wall_seconds": round(wall, 2), "ratio": round(ratio, 4),
             "frames_delivered": delivered, "frames_scheduled": scheduled,
             "msps": round(air_t * 20.0 / wall, 2),
@@ -251,6 +267,8 @@ def main() -> int:
     ap.add_argument("--mode", choices=("rx", "convo"), default="rx")
     ap.add_argument("--seconds", type=float, default=62.0)
     ap.add_argument("--depth", type=int, default=6)
+    ap.add_argument("--channel", action="store_true",
+                    help="synthesize 4-tap in-CP multipath on device")
     ap.add_argument("--json", default="")
     args = ap.parse_args()
 
@@ -262,8 +280,11 @@ def main() -> int:
         print(*a, file=sys.stderr, flush=True)
 
     log("backend:", jax.default_backend(), jax.devices())
-    res = (run_rx_soak if args.mode == "rx" else run_convo)(
-        args.seconds, args.depth, log)
+    if args.mode == "rx":
+        res = run_rx_soak(args.seconds, args.depth, log,
+                          channel=args.channel)
+    else:
+        res = run_convo(args.seconds, args.depth, log)
     line = json.dumps(res)
     print(line, flush=True)
     if args.json:
