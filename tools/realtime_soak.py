@@ -95,7 +95,6 @@ def run_rx_soak(seconds: float, depth: int, log,
     np.asarray(outs[0]["ok"])
     log(f"  warm-up (compile+first): {time.perf_counter()-t0:.1f}s")
 
-    sched: deque = deque()               # global frame offsets pending
     next_off = air.base + 1000
     inflight: deque = deque()
     delivered = 0

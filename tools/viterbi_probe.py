@@ -3,6 +3,11 @@ Viterbi kernel to attribute the per-step cost (matmul vs min tree vs
 renorm vs traceback vs loop overhead).  Evidence for the roofline note
 in ops/viterbi_pallas.py.
 
+Historical note: the attribution runs that drove the round-5 redesign
+were taken against the bf16 kernel; the module's default kernel is now
+the int8-MXU formulation those runs selected (the "i8mm" variant here),
+so "base" and "i8mm" now measure the same path.
+
 Usage: python tools/viterbi_probe.py
 """
 
