@@ -162,7 +162,8 @@ def run_rx_soak(seconds: float, depth: int, log,
             "decoded_mbps": round(delivered * 1492 * 8 / wall / 1e6, 1)}
 
 
-def run_convo(seconds: float, depth: int, log) -> dict:
+def run_convo(seconds: float, depth: int, log,
+              channel: bool = False) -> dict:
     from sora_tpu.runtime.device_air import BatchMac, DeviceAir
 
     def pad_psdu(p, n):
@@ -171,6 +172,10 @@ def run_convo(seconds: float, depth: int, log) -> dict:
         from sora_tpu.mac import frame as fr
         return fr.append_fcs(p[:-4] + bytes(n - len(p)))
 
+    taps = CH_TAPS if channel else [(0, 1.0)]
+    if channel:
+        log("channel: 4-tap in-CP multipath on every transmission "
+            "(data AND block-acks), synthesized on device")
     depth = min(depth, 2)           # ack latency is ~2*(depth+1) rounds
     A, B = b"\x02SORAA", b"\x02SORAB"
     payload = 1464
@@ -180,7 +185,8 @@ def run_convo(seconds: float, depth: int, log) -> dict:
     mb = BatchMac(B, A, n_seq=0, payload=payload)
     air = DeviceAir([np.zeros(4992, np.complex64)], n_entries=E + 1,
                     window=32768, batch=64, overlap=6144, n_frames=7,
-                    n_decode=0, slots=384, noise_rms=0.02, max_psdu=1504,
+                    n_decode=0, slots=896 if channel else 384,
+                    noise_rms=0.02, max_psdu=1504,
                     hdr_bytes=64, min_rate_mbps=54, n_receivers=2,
                     pad_len=4992, seed=11)
     span = 4880
@@ -225,10 +231,11 @@ def run_convo(seconds: float, depth: int, log) -> dict:
             ba = pad_psdu(mb.block_ack_psdu(), len(ma.data_psdu(0)))
             st_idx.append(E)
             st_psdu.append(np.frombuffer(ba, np.uint8))
-            tx.append((E, adv - period, 1.0))
+            tx += [(E, adv - period + d, c) for d, c in taps]
         if st_idx:
             air.stage_tx(st_idx, np.stack(st_psdu), 54)
-        tx += [(s % E, 200 + i * period, 1.0) for i, s in enumerate(seqs)]
+        tx += [(s % E, 200 + i * period + d, c)
+               for i, s in enumerate(seqs) for d, c in taps]
         outs, base = air.step(tx)
         inflight.append((outs, base))
         while len(inflight) > depth:
@@ -253,7 +260,8 @@ def run_convo(seconds: float, depth: int, log) -> dict:
         f"goodput {goodput:.1f} Mbps")
     assert ma.stats.acked > 0 and mb.stats.delivered > 0
     # every delivered-but-unacked seq is bounded by the pipeline depth
-    return {"mode": "convo", "air_seconds": round(air_t, 2),
+    return {"mode": "convo", "channel": bool(channel),
+            "air_seconds": round(air_t, 2),
             "wall_seconds": round(wall, 2), "ratio": round(ratio, 4),
             "sent": ma.stats.sent, "acked": ma.stats.acked,
             "retransmits": ma.stats.retransmits,
@@ -283,7 +291,8 @@ def main() -> int:
         res = run_rx_soak(args.seconds, args.depth, log,
                           channel=args.channel)
     else:
-        res = run_convo(args.seconds, args.depth, log)
+        res = run_convo(args.seconds, args.depth, log,
+                        channel=args.channel)
     line = json.dumps(res)
     print(line, flush=True)
     if args.json:
