@@ -45,6 +45,7 @@ import jax.numpy as jnp
 from sora_tpu.mac import frame as fr
 from sora_tpu.phy.dot11a import rx as arx
 from sora_tpu.phy.dot11a import tx as jtx
+from sora_tpu.phy.dot11b import rx as brx
 from sora_tpu.util.xfer import device_complex
 
 
@@ -67,8 +68,13 @@ class DeviceAir:
                  noise_rms: float = 0.02, max_psdu: int = 1504,
                  hdr_bytes: int = 64, n_receivers: int = 1,
                  min_rate_mbps: int = 6, pad_len: int = 0,
-                 n_entries: int = 0, seed: int = 0):
+                 n_entries: int = 0, phy: str = "a", seed: int = 0):
         assert overlap < window
+        assert phy in ("a", "b")
+        self.phy = phy            # "a": 20 Msps OFDM; "b": 11 Msps DSSS
+        if phy == "b":
+            n_frames = 1          # the DSSS chain locks one burst per
+            #                       window; overlap covers the rest
         self.window, self.batch, self.overlap = window, batch, overlap
         self.hop = window - overlap
         self.nsamp = window + self.hop * (batch - 1)
@@ -193,10 +199,15 @@ class DeviceAir:
             # per-receiver front-end noise on top of the shared air
             xw = air[idx] + jax.lax.complex(wn[0], wn[1]) * (
                 0.5 * sigma)
-            out = arx.rx_pipeline_auto(xw, max_psdu=self.max_psdu,
-                                       n_frames=self.n_frames,
-                                       n_decode=self.n_decode,
-                                       min_rate_mbps=self.min_rate_mbps)
+            if self.phy == "b":
+                out = brx.rx_pipeline_auto(xw, max_psdu=self.max_psdu)
+                out = dict(out)
+                out["lts1"] = out["t0"]     # window-relative anchor
+            else:
+                out = arx.rx_pipeline_auto(
+                    xw, max_psdu=self.max_psdu,
+                    n_frames=self.n_frames, n_decode=self.n_decode,
+                    min_rate_mbps=self.min_rate_mbps)
             keep = {k: out[k] for k in
                     ("ok", "det", "length", "rate_mbps", "snr_db",
                      "lts1", "truncated") if k in out}

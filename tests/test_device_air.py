@@ -155,3 +155,32 @@ def test_multipath_taps_as_descriptors():
     want = np.frombuffer(psdu[: air.hdr_bytes], np.uint8)
     assert any(np.array_equal(hdr[i][: len(want)], want)
                for i in range(len(ok)) if ok[i])
+
+
+def test_dsss_phy_device_air():
+    """phy="b": the device air drives the DSSS chain (11 Msps chips,
+    first-burst lock — the windowed-decode contract is hop <= gap and
+    overlap >= span, as in the 11 Mbps real-time soak)."""
+    from sora_tpu.golden import dot11b_np as gb
+
+    psdus = [fr.build_data_frame(bytes([i]) * 40, seq=i)
+             for i in range(2)]
+    waves = [gb.modulate(p, 11).astype(np.complex64) for p in psdus]
+    span = max(len(w) for w in waves)
+    air = DeviceAir(waves, window=4608, batch=8, overlap=3072,
+                    slots=8, noise_rms=0.01, max_psdu=128,
+                    hdr_bytes=64, phy="b")
+    assert span <= air.overlap and air.n_frames == 1
+    # hop = 1536; schedule with gaps > hop so each frame is
+    # first-in-window for at least one window
+    offs = [500, 500 + span + 1700]
+    outs, base = air.step([(i, o, 1.0) for i, o in enumerate(offs)])
+    o = outs[0]
+    ok = np.asarray(o["ok"]).astype(bool)
+    pos = air.cand_pos(o, base)
+    for off in offs:
+        assert np.any(ok & (np.abs(pos - off) < 1500)), (off, pos[ok])
+    hdr = np.asarray(o["hdr"])
+    want = np.frombuffer(psdus[0][: air.hdr_bytes], np.uint8)
+    assert any(np.array_equal(hdr[i][: len(want)], want)
+               for i in range(len(ok)) if ok[i])

@@ -10,17 +10,20 @@ headers come down — so the whole live loop runs at the chip's speed and
 the wall-clock ratio is measured honestly end to end.
 
 Modes:
-  rx     (default) saturated 54 Mbps RX soak: back-to-back 1492-byte
-         frames at 20 Msps, every scheduled frame must be decoded and
-         position-matched; >= 60 s of air.
+  rx     (default) saturated RX soak, every scheduled frame decoded and
+         position-matched over >= 60 s of air.  --phy a: back-to-back
+         1492-byte 54 Mbps OFDM frames at 20 Msps.  --phy b: 11 Mbps
+         CCK at 11 Msps chips (the original Sora demo's PHY), with
+         contention-sized gaps.  --channel adds 4-tap in-CP multipath
+         synthesized on device (OFDM).
   convo  two-node conversation: A streams sequenced data frames to B,
          B block-acks every round, retries close the loop; both nodes'
          receivers run per round (independent noise).  The MAC round
          trip is one air batch (~86 ms) — the batched analogue of the
          reference's SIFS loop.
 
-Usage: python tools/realtime_soak.py [--mode rx|convo] [--seconds 62]
-       [--depth 6] [--json out.json]
+Usage: python tools/realtime_soak.py [--mode rx|convo] [--phy a|b]
+       [--channel] [--seconds 62] [--depth 6] [--json out.json]
 
 Prints per-5s progress to stderr and a one-line JSON summary to stdout.
 """
@@ -48,44 +51,70 @@ CH_TAPS = [(0, 1.0), (3, 0.45 * np.exp(0.9j)),
            (7, 0.2 * np.exp(-2.1j)), (11, 0.08 * np.exp(0.3j))]
 
 
-def make_rx_soak_air(seed: int = 7, channel: bool = False):
-    """The canonical saturated-soak air: 64 cached 1492-byte 54 Mbps
-    frames, 64x32768-sample windows, overlap 6144.  bench.py uses the
-    SAME constructor so the driver's bench hits a warm compile cache.
-    ``channel`` widens the descriptor budget for tap-expanded TX."""
+def make_rx_soak_air(seed: int = 7, channel: bool = False,
+                     phy: str = "a"):
+    """The canonical saturated-soak air.  phy="a": 64 cached 1492-byte
+    54 Mbps OFDM frames, 64x32768-sample windows, overlap 6144 (the
+    config bench.py reuses so the driver's bench hits a warm compile
+    cache).  phy="b": 330-byte 11 Mbps CCK frames at 11 Msps chips —
+    the original Sora demo's PHY.  The DSSS chain locks the FIRST
+    energy burst per window, so the windowed-decode contract is
+    hop <= inter-frame gap (a window must start inside every gap) and
+    overlap >= frame span: 512 windows of 8192 chips, hop 2048, with
+    186 us contention-sized gaps.  ``channel`` widens the descriptor
+    budget for tap-expanded TX."""
     from sora_tpu.golden import dot11a_np as g
+    from sora_tpu.golden import dot11b_np as gb
     from sora_tpu.mac import frame as fr
     from sora_tpu.runtime.device_air import DeviceAir
 
     rng = np.random.default_rng(seed)
+    if phy == "b":
+        psdus = [fr.build_data_frame(
+            bytes(rng.integers(0, 256, 250, dtype=np.uint8)), seq=i)
+            for i in range(64)]
+        waves = [gb.modulate(p, 11).astype(np.complex64) for p in psdus]
+        span = max(len(w) for w in waves)
+        air = DeviceAir(waves, window=8192, batch=512, overlap=5120,
+                        slots=384, noise_rms=0.02, max_psdu=512,
+                        hdr_bytes=64, phy="b", seed=seed)
+        assert span <= air.overlap, (span, air.overlap)
+        return air, psdus, span
     psdus = [fr.build_data_frame(
         bytes(rng.integers(0, 256, 1464, dtype=np.uint8)), seq=i)
         for i in range(64)]
-    waves = [g.modulate(p, 54).astype(np.complex64) for p in psdus]
-    span = max(len(w) for w in waves)
-    air = DeviceAir(waves, window=32768, batch=64, overlap=6144,
-                    n_frames=7, n_decode=0,
-                    slots=1408 if channel else 384, noise_rms=0.02,
-                    max_psdu=1504, hdr_bytes=64, min_rate_mbps=54,
-                    seed=seed)
+    if False:
+        pass
+    else:
+        waves = [g.modulate(p, 54).astype(np.complex64) for p in psdus]
+        span = max(len(w) for w in waves)
+        air = DeviceAir(waves, window=32768, batch=64, overlap=6144,
+                        n_frames=7, n_decode=0,
+                        slots=1408 if channel else 384, noise_rms=0.02,
+                        max_psdu=1504, hdr_bytes=64, min_rate_mbps=54,
+                        seed=seed)
     assert span + CH_TAPS[-1][0] <= air.overlap, (span, air.overlap)
     return air, psdus, span
 
 
 def run_rx_soak(seconds: float, depth: int, log,
-                channel: bool = False) -> dict:
-    air, psdus, span = make_rx_soak_air(channel=channel)
+                channel: bool = False, phy: str = "a") -> dict:
+    assert not (channel and phy == "b"), "--channel is the OFDM demo"
+    air, psdus, span = make_rx_soak_air(channel=channel, phy=phy)
+    sps = 11e6 if phy == "b" else SPS
     taps = CH_TAPS if channel else [(0, 1.0)]
     if channel:
         log("channel: 4-tap in-CP multipath synthesized on device "
             "(one descriptor per tap)")
-    gap = 640                            # 32 us inter-frame spacing
+    gap = 3100 if phy == "b" else 640    # ~280/32 us inter-frame gaps
+    # (DSSS contract: gap >= hop so every frame is first-in-window for
+    # at least one window; ~280 us ~ DIFS + a typical DSSS backoff)
     period = span + gap
     adv = air.advance
-    air_per_round = adv / SPS
+    air_per_round = adv / sps
     n_rounds = int(np.ceil(seconds / air_per_round))
-    log(f"rx soak: {n_rounds} rounds x {air_per_round*1e3:.1f} ms air "
-        f"({adv} samples), frame span {span}, period {period}, "
+    log(f"rx soak [{phy}]: {n_rounds} rounds x {air_per_round*1e3:.1f}"
+        f" ms air ({adv} samples), frame span {span}, period {period}, "
         f"~{adv//period} frames/round")
 
     # warm: two rounds (compile + caches), not timed
@@ -118,7 +147,9 @@ def run_rx_soak(seconds: float, depth: int, log,
             i = np.searchsorted(okpos, off + 192)
             hit = False
             for j in (i - 1, i):
-                if 0 <= j < len(okpos) and abs(okpos[j] - (off + 192)) < 600:
+                if 0 <= j < len(okpos) and \
+                        abs(okpos[j] - (off + 192)) < (
+                            2500 if phy == "b" else 600):
                     hit = True
             delivered += int(hit)
 
@@ -139,7 +170,7 @@ def run_rx_soak(seconds: float, depth: int, log,
             drain_one()
         now = time.perf_counter()
         if now > t_report:
-            air_t = (air.base - base_start) / SPS
+            air_t = (air.base - base_start) / sps
             log(f"  [{now-t_start:6.1f}s wall] {air_t:6.1f}s air "
                 f"dispatched, ratio so far "
                 f"{(now-t_start)/max(air_t, 1e-9):.3f}, "
@@ -148,18 +179,21 @@ def run_rx_soak(seconds: float, depth: int, log,
     while inflight:
         drain_one()
     wall = time.perf_counter() - t_start
-    air_t = (air.base - base_start) / SPS
+    air_t = (air.base - base_start) / sps
     ratio = wall / air_t
-    log(f"rx soak done: {air_t:.1f}s of 20 Msps air in {wall:.1f}s wall "
+    log(f"rx soak done: {air_t:.1f}s of {sps/1e6:.0f} Msps air in "
+        f"{wall:.1f}s wall "
         f"-> ratio {ratio:.3f}; delivered {delivered}/{scheduled} "
         f"({ok_rows} ok candidate rows)")
     assert delivered == scheduled, (delivered, scheduled)
-    return {"mode": "rx", "channel": bool(channel),
+    return {"mode": "rx", "channel": bool(channel), "phy": phy,
             "air_seconds": round(air_t, 2),
             "wall_seconds": round(wall, 2), "ratio": round(ratio, 4),
             "frames_delivered": delivered, "frames_scheduled": scheduled,
-            "msps": round(air_t * 20.0 / wall, 2),
-            "decoded_mbps": round(delivered * 1492 * 8 / wall / 1e6, 1)}
+            "msps": round(air_t * sps / 1e6 / wall, 2),
+            "decoded_mbps": round(delivered * (278 if phy == "b"
+                                               else 1492) * 8
+                                  / wall / 1e6, 1)}
 
 
 def run_convo(seconds: float, depth: int, log,
@@ -242,7 +276,7 @@ def run_convo(seconds: float, depth: int, log,
             drain_one()
         now = time.perf_counter()
         if now > t_report:
-            air_t = (air.base - base_start) / SPS
+            air_t = (air.base - base_start) / sps
             log(f"  [{now-t_start:6.1f}s wall] {air_t:6.1f}s air, ratio "
                 f"{(now-t_start)/max(air_t, 1e-9):.3f}, acked "
                 f"{ma.stats.acked}, delivered {mb.stats.delivered}, "
@@ -276,6 +310,8 @@ def main() -> int:
     ap.add_argument("--depth", type=int, default=6)
     ap.add_argument("--channel", action="store_true",
                     help="synthesize 4-tap in-CP multipath on device")
+    ap.add_argument("--phy", choices=("a", "b"), default="a",
+                    help="rx-soak PHY: 54 Mbps OFDM or 11 Mbps DSSS")
     ap.add_argument("--json", default="")
     args = ap.parse_args()
 
@@ -289,7 +325,7 @@ def main() -> int:
     log("backend:", jax.default_backend(), jax.devices())
     if args.mode == "rx":
         res = run_rx_soak(args.seconds, args.depth, log,
-                          channel=args.channel)
+                          channel=args.channel, phy=args.phy)
     else:
         res = run_convo(args.seconds, args.depth, log,
                         channel=args.channel)
