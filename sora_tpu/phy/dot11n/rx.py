@@ -760,15 +760,24 @@ def _auto_tables_n(max_psdu: int, nsym_cap: int = 1 << 30):
             nsym_max, t_max)
 
 
-@partial(jax.jit, static_argnames=("max_psdu",))
-def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU):
+@partial(jax.jit, static_argnames=("max_psdu", "min_mcs"))
+def rx_pipeline_auto(x: jnp.ndarray, max_psdu: int = MAX_PSDU,
+                     min_mcs: int = 8):
     """Complete batched 2x2 HT RX with per-frame runtime MCS dispatch: a
     batch mixing MCS 8-15 decodes in ONE jit program.
+
+    ``min_mcs`` declares the slowest MCS actually expected on the air
+    (NodeConfig.min_rate_mbps's HT analogue): the per-MCS symbol tables
+    cap at that MCS's max_psdu airtime, so a batch does not pay the
+    MCS8 worst case when the traffic is all high-MCS.  Frames at a
+    slower MCS AND longer than the cap truncate (crc_fail).
 
     x: (B, 2, N) complex64.  Returns the rx_pipeline dict (mcs is the
     per-frame parsed MCS).
     """
     nsym_win = max(1, (int(x.shape[-1]) - _OFF_DATA) // 80)
+    nsym_air = max_symbols(max(8, min(15, min_mcs)), max_psdu)
+    nsym_win = min(nsym_win, nsym_air)
     mats, nsyms, ndbps_tab, nsym_max, t_max = _auto_tables_n(max_psdu,
                                                              nsym_win)
     lts1, cfo, det = synchronize(x)

@@ -70,11 +70,13 @@ class DeviceAir:
                  min_rate_mbps: int = 6, pad_len: int = 0,
                  n_entries: int = 0, phy: str = "a", seed: int = 0):
         assert overlap < window
-        assert phy in ("a", "b")
-        self.phy = phy            # "a": 20 Msps OFDM; "b": 11 Msps DSSS
-        if phy == "b":
-            n_frames = 1          # the DSSS chain locks one burst per
-            #                       window; overlap covers the rest
+        assert phy in ("a", "b", "n")
+        self.phy = phy    # "a": 20 Msps OFDM; "b": 11 Msps DSSS;
+        #                   "n": 2x2 HT MIMO (two air "antennas")
+        self.n_ant = 2 if phy == "n" else 1
+        if phy in ("b", "n"):
+            n_frames = 1  # these chains lock one onset per window;
+            #               overlap covers the rest
         self.window, self.batch, self.overlap = window, batch, overlap
         self.hop = window - overlap
         self.nsamp = window + self.hop * (batch - 1)
@@ -88,17 +90,21 @@ class DeviceAir:
         self.n_receivers = n_receivers
         self.min_rate_mbps = min_rate_mbps
         self._stage_fns: dict = {}
-        L = max([len(w) for w in waves] + [pad_len])
+        A = self.n_ant
+        waves = [np.atleast_2d(np.asarray(w, np.complex64))
+                 for w in waves]                   # (A_w, n) each
+        L = max([w.shape[1] for w in waves] + [pad_len])
         self.L = L = -(-L // 256) * 256
         n_entries = max(n_entries, len(waves))
-        cache = np.zeros((n_entries, L), np.complex64)
+        cache = np.zeros((n_entries, A, L), np.complex64)
         for i, w in enumerate(waves):
-            cache[i, : len(w)] = w
+            assert w.shape[0] == A, (w.shape, A)
+            cache[i, :, : w.shape[1]] = w
         self._cache = device_complex(cache)
         self.carry_len = self.nsamp - self.advance + L    # overlap + L
         rng = np.random.default_rng(seed)
-        carry0 = (rng.normal(size=self.carry_len)
-                  + 1j * rng.normal(size=self.carry_len)) * (
+        carry0 = (rng.normal(size=(A, self.carry_len))
+                  + 1j * rng.normal(size=(A, self.carry_len))) * (
                       self.noise_rms / np.sqrt(2.0))
         self._carry = device_complex(carry0.astype(np.complex64))
         self._key = jax.random.PRNGKey(seed)
@@ -118,11 +124,12 @@ class DeviceAir:
         for c0 in range(0, len(idxs), CH):
             ii = list(idxs[c0: c0 + CH])
             ww = list(waves[c0: c0 + CH])
-            w = np.zeros((CH, self.L), np.complex64)
+            w = np.zeros((CH, self.n_ant, self.L), np.complex64)
             ix = np.full((CH,), ii[0], np.int32)
             for k, (i, wv) in enumerate(zip(ii, ww)):
-                assert len(wv) <= self.L, (len(wv), self.L)
-                w[k, : len(wv)] = wv
+                wv = np.atleast_2d(np.asarray(wv, np.complex64))
+                assert wv.shape[1] <= self.L, (wv.shape, self.L)
+                w[k, :, : wv.shape[1]] = wv
                 ix[k] = i
             for k in range(len(ii), CH):      # pad rows rewrite row 0
                 w[k] = w[0]
@@ -136,6 +143,7 @@ class DeviceAir:
         call share one length class."""
         if not idxs:
             return
+        assert self.phy == "a", "on-device TX staging is the OFDM path"
         psdus = np.asarray(psdus, np.uint8)
         CH, plen = 128, int(psdus.shape[1])
         fn = self._stage_fns.get((plen, rate))
@@ -143,8 +151,8 @@ class DeviceAir:
             def _stage(cache, ix, pb, _p=plen, _r=rate):
                 w = jtx.modulate(pb, _r, _p)
                 assert w.shape[1] <= self.L, (w.shape, self.L)
-                wp = jnp.zeros((pb.shape[0], self.L), w.dtype)
-                wp = wp.at[:, : w.shape[1]].set(w)
+                wp = jnp.zeros((pb.shape[0], 1, self.L), w.dtype)
+                wp = wp.at[:, 0, : w.shape[1]].set(w)
                 return cache.at[ix].set(wp)
 
             fn = self._stage_fns[(plen, rate)] = jax.jit(_stage)
@@ -160,8 +168,9 @@ class DeviceAir:
 
     def _round_impl(self, cache, carry, key, round_idx, descs):
         n_air = self.nsamp + self.L
-        air = jnp.zeros((n_air,), jnp.complex64)
-        air = air.at[: self.carry_len].set(carry)
+        A = self.n_ant
+        air = jnp.zeros((A, n_air), jnp.complex64)
+        air = air.at[:, : self.carry_len].set(carry)
 
         def put(i, a):
             e = descs[i, 0]
@@ -172,9 +181,9 @@ class DeviceAir:
             amp = jnp.where(e >= 0, jax.lax.complex(
                 descs[i, 2].astype(jnp.float32),
                 descs[i, 3].astype(jnp.float32)) * 1e-3, 0.0 + 0.0j)
-            w = cache[jnp.maximum(e, 0)] * amp
-            cur = jax.lax.dynamic_slice(a, (off,), (self.L,))
-            return jax.lax.dynamic_update_slice(a, cur + w, (off,))
+            w = cache[jnp.maximum(e, 0)] * amp     # (A, L)
+            cur = jax.lax.dynamic_slice(a, (0, off), (A, self.L))
+            return jax.lax.dynamic_update_slice(a, cur + w, (0, off))
 
         air = jax.lax.fori_loop(0, self.slots, put, air)
 
@@ -182,30 +191,38 @@ class DeviceAir:
         kf, key = jax.random.split(key)
         sigma = self.noise_rms / np.sqrt(2.0)
         fresh = self.carry_len
-        nz = jax.random.normal(kf, (2, n_air - fresh), jnp.float32) * sigma
-        air = air.at[fresh:].add(jax.lax.complex(nz[0], nz[1]))
+        nz = jax.random.normal(kf, (2, A, n_air - fresh),
+                               jnp.float32) * sigma
+        air = air.at[:, fresh:].add(jax.lax.complex(nz[0], nz[1]))
 
-        carry_out = jax.lax.dynamic_slice(air, (self.advance,),
-                                          (self.carry_len,))
+        carry_out = jax.lax.dynamic_slice(air, (0, self.advance),
+                                          (A, self.carry_len))
 
         starts = jnp.arange(self.batch) * self.hop
         idx = starts[:, None] + jnp.arange(self.window)[None, :]
 
         outs = []
+        A = self.n_ant
         for r in range(self.n_receivers):
             kr, key = jax.random.split(key)
             wn = jax.random.normal(
-                kr, (2, self.batch, self.window), jnp.float32)
-            # per-receiver front-end noise on top of the shared air
-            xw = air[idx] + jax.lax.complex(wn[0], wn[1]) * (
-                0.5 * sigma)
+                kr, (2, self.batch, A, self.window), jnp.float32)
+            # per-receiver front-end noise on top of the shared air;
+            # windows: (A, B, window) gather -> (B, A, window)
+            xw = jnp.transpose(air[:, idx], (1, 0, 2)) + \
+                jax.lax.complex(wn[0], wn[1]) * (0.5 * sigma)
             if self.phy == "b":
-                out = brx.rx_pipeline_auto(xw, max_psdu=self.max_psdu)
+                out = brx.rx_pipeline_auto(xw[:, 0],
+                                           max_psdu=self.max_psdu)
                 out = dict(out)
                 out["lts1"] = out["t0"]     # window-relative anchor
+            elif self.phy == "n":
+                from sora_tpu.phy.dot11n import rx as nrx
+                out = nrx.rx_pipeline_auto(xw, max_psdu=self.max_psdu,
+                                           min_mcs=self.min_rate_mbps)
             else:
                 out = arx.rx_pipeline_auto(
-                    xw, max_psdu=self.max_psdu,
+                    xw[:, 0], max_psdu=self.max_psdu,
                     n_frames=self.n_frames, n_decode=self.n_decode,
                     min_rate_mbps=self.min_rate_mbps)
             keep = {k: out[k] for k in

@@ -184,3 +184,30 @@ def test_dsss_phy_device_air():
     want = np.frombuffer(psdus[0][: air.hdr_bytes], np.uint8)
     assert any(np.array_equal(hdr[i][: len(want)], want)
                for i in range(len(ok)) if ok[i])
+
+
+def test_ht_mimo_phy_device_air():
+    """phy="n": two-antenna air — the 2x2 HT waveform's both chains ride
+    the device air and the MIMO auto pipeline decodes per window (the
+    11n real-time soak's mechanism)."""
+    from sora_tpu.golden import dot11n_np as gn
+
+    psdus = [fr.build_data_frame(bytes([i]) * 60, seq=i)
+             for i in range(2)]
+    waves = [np.asarray(gn.modulate(p, 11)) for p in psdus]   # (2, n)
+    span = max(w.shape[1] for w in waves)
+    air = DeviceAir(waves, window=4096, batch=8, overlap=2048,
+                    slots=8, noise_rms=0.01, max_psdu=128,
+                    hdr_bytes=64, phy="n")
+    assert span <= air.overlap and air.n_ant == 2
+    offs = [300, 300 + span + 2100]      # gaps > hop (2048)
+    outs, base = air.step([(i, o, 1.0) for i, o in enumerate(offs)])
+    o = outs[0]
+    ok = np.asarray(o["ok"]).astype(bool)
+    pos = air.cand_pos(o, base)
+    for off in offs:
+        assert np.any(ok & (np.abs(pos - off) < 1200)), (off, pos[ok])
+    hdr = np.asarray(o["hdr"])
+    want = np.frombuffer(psdus[0][: air.hdr_bytes], np.uint8)
+    assert any(np.array_equal(hdr[i][: len(want)], want)
+               for i in range(len(ok)) if ok[i])

@@ -80,6 +80,25 @@ def make_rx_soak_air(seed: int = 7, channel: bool = False,
                         hdr_bytes=64, phy="b", seed=seed)
         assert span <= air.overlap, (span, air.overlap)
         return air, psdus, span
+    if phy == "n":
+        from sora_tpu.golden import dot11n_np as gn
+        psdus = [fr.build_data_frame(
+            bytes(rng.integers(0, 256, 1464, dtype=np.uint8)), seq=i)
+            for i in range(64)]
+        waves = [np.asarray(gn.modulate(p, 15)) for p in psdus]  # (2,n)
+        span = max(w.shape[1] for w in waves)
+        # Geometry contract for the single-candidate HT sync (locks the
+        # first STS plateau): hop <= gap so every frame has a window
+        # starting inside its preceding gap (a clean head — a window
+        # led by the previous frame's data tail can mislock), and
+        # overlap >= span for containment.  hop 8192 keeps the decode
+        # redundancy (window/hop) at 1.375.
+        air = DeviceAir(waves, window=11264, batch=512, overlap=3072,
+                        slots=512, noise_rms=0.01, max_psdu=1504,
+                        hdr_bytes=64, phy="n", min_rate_mbps=15,
+                        seed=seed)
+        assert span <= air.overlap, (span, air.overlap)
+        return air, psdus, span
     psdus = [fr.build_data_frame(
         bytes(rng.integers(0, 256, 1464, dtype=np.uint8)), seq=i)
         for i in range(64)]
@@ -99,14 +118,14 @@ def make_rx_soak_air(seed: int = 7, channel: bool = False,
 
 def run_rx_soak(seconds: float, depth: int, log,
                 channel: bool = False, phy: str = "a") -> dict:
-    assert not (channel and phy == "b"), "--channel is the OFDM demo"
+    assert not (channel and phy != "a"), "--channel is the 11a demo"
     air, psdus, span = make_rx_soak_air(channel=channel, phy=phy)
     sps = 11e6 if phy == "b" else SPS
     taps = CH_TAPS if channel else [(0, 1.0)]
     if channel:
         log("channel: 4-tap in-CP multipath synthesized on device "
             "(one descriptor per tap)")
-    gap = 3100 if phy == "b" else 640    # ~280/32 us inter-frame gaps
+    gap = {"b": 3100, "n": 8600}.get(phy, 640)   # inter-frame gaps
     # (DSSS contract: gap >= hop so every frame is first-in-window for
     # at least one window; ~280 us ~ DIFS + a typical DSSS backoff)
     period = span + gap
@@ -149,7 +168,7 @@ def run_rx_soak(seconds: float, depth: int, log,
             for j in (i - 1, i):
                 if 0 <= j < len(okpos) and \
                         abs(okpos[j] - (off + 192)) < (
-                            2500 if phy == "b" else 600):
+                            2500 if phy in ("b", "n") else 600):
                     hit = True
             delivered += int(hit)
 
@@ -194,6 +213,10 @@ def run_rx_soak(seconds: float, depth: int, log,
             "decoded_mbps": round(delivered * (278 if phy == "b"
                                                else 1492) * 8
                                   / wall / 1e6, 1)}
+
+
+# payload bytes per frame per phy (for the goodput figure): a/n carry
+# 1464-byte payloads (1492-byte PSDUs), b carries 250 (278)
 
 
 def run_convo(seconds: float, depth: int, log,
@@ -310,8 +333,9 @@ def main() -> int:
     ap.add_argument("--depth", type=int, default=6)
     ap.add_argument("--channel", action="store_true",
                     help="synthesize 4-tap in-CP multipath on device")
-    ap.add_argument("--phy", choices=("a", "b"), default="a",
-                    help="rx-soak PHY: 54 Mbps OFDM or 11 Mbps DSSS")
+    ap.add_argument("--phy", choices=("a", "b", "n"), default="a",
+                    help="rx-soak PHY: 54 Mbps OFDM, 11 Mbps DSSS, or "
+                         "MCS15 2x2 HT MIMO")
     ap.add_argument("--json", default="")
     args = ap.parse_args()
 
