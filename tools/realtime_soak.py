@@ -299,7 +299,7 @@ def run_convo(seconds: float, depth: int, log,
             drain_one()
         now = time.perf_counter()
         if now > t_report:
-            air_t = (air.base - base_start) / sps
+            air_t = (air.base - base_start) / SPS
             log(f"  [{now-t_start:6.1f}s wall] {air_t:6.1f}s air, ratio "
                 f"{(now-t_start)/max(air_t, 1e-9):.3f}, acked "
                 f"{ma.stats.acked}, delivered {mb.stats.delivered}, "
