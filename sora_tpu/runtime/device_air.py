@@ -25,6 +25,9 @@ AIR lives in device HBM.
 * With ``n_receivers=2`` the same air is decoded through two
   independent receiver noise realizations (two physical nodes sharing
   a channel), which is what the two-node conversation demo uses.
+* All three PHY families ride the same air (phy="a"/"b"/"n"; the HT
+  air carries a 2-antenna axis), and all three sustained the < 1.0
+  real-time bar for 62 s on this harness (REALTIME_*.json).
 
 Host code (tools/realtime_soak.py, BatchMac below) talks to the air
 only through descriptors and decoded headers, at batch granularity —
@@ -58,8 +61,20 @@ class DeviceAir:
     """Continuous device-resident air + one-jit air->RX round.
 
     waves: list of host complex waveforms (the TX cache; entry i is
-    referenced by descriptors).  All waves are zero-padded to a common
-    length L on device; amplitude scaling happens per transmission.
+    referenced by descriptors) — 1-D for phy "a"/"b", (2, n) per-chain
+    pairs for phy "n" (the air carries an antenna axis).  All waves
+    are zero-padded to a common length L on device; complex amplitude
+    scaling happens per transmission descriptor (a multipath tap is
+    just an extra delayed descriptor).
+
+    phy selects the per-window decoder: "a" = 20 Msps OFDM
+    (rx_pipeline_auto with multi-onset candidates + min_rate cap),
+    "b" = 11 Msps DSSS (first-burst lock), "n" = 2x2 HT MIMO
+    (first-plateau lock, min_mcs cap via ``min_rate_mbps``).  The
+    single-candidate chains ("b"/"n") carry a geometry contract: the
+    scheduler must keep hop <= inter-frame gap (so every frame has a
+    window starting in its preceding gap — a clean head) and
+    overlap >= frame span (containment).
     """
 
     def __init__(self, waves, *, window: int = 32768, batch: int = 64,
