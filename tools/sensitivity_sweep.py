@@ -191,6 +191,49 @@ def sweep_11n_mixed(snrs, mcs_list=(12, 15), n=16, payload=72, seed=47):
     return rows
 
 
+def sweep_11a_multipath(snrs, rates=(24, 54), n=16, payload=72,
+                        seed=61):
+    """11a rows under a fixed 4-tap in-CP channel: the per-subcarrier
+    |H|^2 LLR weighting vs the reference-parity equal-weight demap
+    (dsp_demap.h).  Same channel and noise for both receivers."""
+    import jax.numpy as jnp
+    from sora_tpu.golden import dot11a_np as g
+    from sora_tpu.phy.dot11a import rx as jrx
+
+    taps = [(0, 1.0), (3, 0.45 * np.exp(0.9j)),
+            (7, 0.2 * np.exp(-2.1j)), (11, 0.08 * np.exp(0.3j))]
+    rows = {}
+    for rate in rates:
+        rng = np.random.default_rng(seed + rate)
+        psdus = _frames(rng, n, payload)
+        waves = [g.modulate(p, rate).astype(np.complex64) for p in psdus]
+        N = max(len(w) for w in waves) + 320
+        x = np.zeros((n, N), np.complex64)
+        for i, w in enumerate(waves):
+            y = np.zeros(len(w) + 12, np.complex128)
+            for d, c in taps:
+                y[d: d + len(w)] += c * w
+            x[i, 40: 40 + len(y)] = y
+        sig_p = float(np.mean(np.abs(x) ** 2) * N / (N - 320))
+        nsym = jrx.max_symbols(jrx.C.RATES[rate], 128)
+        pts_w, pts_u = [], []
+        for snr in snrs:
+            rng_n = np.random.default_rng(3000 + rate + int(snr))
+            xn = jnp.asarray(_noisy(x, sig_p, snr, rng_n))
+            lts1, cfo, det = jrx.synchronize(xn)
+            eq, _, wgt = jrx.extract_symbols(xn, lts1, cfo, nsym,
+                                             return_weights=True)
+            L = jnp.full((n,), len(psdus[0]), jnp.int32)
+            _, fw, _ = jrx.decode_data(eq[:, 1:, :], L, rate, wgt)
+            _, fu, _ = jrx.decode_data(eq[:, 1:, :], L, rate)
+            pts_w.append((snr, 1.0 - float(np.asarray(fw).sum()) / n, 0))
+            pts_u.append((snr, 1.0 - float(np.asarray(fu).sum()) / n, 0))
+        rows[f"{rate} Mbps Hsq-weighted"] = pts_w
+        rows[f"{rate} Mbps equal-weight (ref)"] = pts_u
+        _log(f"11a multipath {rate} done")
+    return rows
+
+
 def _table(title, rows, snrs):
     out = [f"\n## {title}\n"]
     out.append("| mode | " + " | ".join(f"{s:g} dB" for s in snrs) + " |")
@@ -228,6 +271,11 @@ def main():
                  b, snrs_b))
     nn = sweep_11n(snrs_n)
     print(_table("802.11n (2x2 MIMO, MMSE detection)", nn, snrs_n))
+    snrs_am = [12, 15, 18, 21, 24, 27, 30, 33]
+    am = sweep_11a_multipath(snrs_am)
+    print(_table("802.11a under a fixed 4-tap in-CP channel "
+                 "(per-subcarrier LLR weighting vs the reference's "
+                 "equal-weight demap)", am, snrs_am))
     snrs_m = [12, 15, 18, 21, 24, 27, 30, 33, 36, 39]
     nm = sweep_11n_mixed(snrs_m)
     print(_table("802.11n 2x2 under frequency-selective Rayleigh "
