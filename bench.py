@@ -260,7 +260,7 @@ def _bench_realtime(log):
     from pathlib import Path
     sys.path.insert(0, str(Path(__file__).resolve().parent / "tools"))
     import realtime_soak as rs
-    res = rs.run_rx_soak(seconds=8.0, depth=6, log=log)
+    res = rs.run_rx_soak(seconds=8.0, depth=6, log=log, strict=False)
     log(f"  device-air real-time: ratio {res['ratio']} "
         f"({res['frames_delivered']}/{res['frames_scheduled']} frames)")
     return res["ratio"]

@@ -253,7 +253,15 @@ def decode_blocks(soft_ab: jnp.ndarray, block: int = 512, overlap: int = 64,
     wk = wk.astype(jnp.int8)                          # +-7
     # initial metrics: uniform, except the first window of each stream
     # starts pinned in state 0 (PM_CLAMP handicap = the saturation value,
-    # the strongest pin the clamped-metric formulation can express)
+    # the strongest pin the clamped-metric formulation can express).
+    # This is deliberately SOFTER than the old f32 1e9 pin: a wrong
+    # start state is 120 units behind, erasable only by ~3 radix-4
+    # steps of maximally adversarial soft values — which at any SNR
+    # where the frame's FCS could pass does not happen (soft values are
+    # signal-driven and the live-path spread stays < ~84; the
+    # sensitivity gates in tests/test_sensitivity.py pin the operating
+    # floors).  Mid-stream windows already start UNIFORM (weaker than
+    # this) and decode exactly, so the pin is a strict improvement.
     row = jnp.arange(Rpad)
     states = jnp.arange(64)[:, None]
     first = (row % nblk == 0) & (row < R)

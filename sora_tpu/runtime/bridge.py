@@ -78,12 +78,19 @@ class TapBridge:
     def write_frame(self, frame: bytes) -> None:
         try:
             os.write(self.fd, frame)
-        except (BlockingIOError, OSError):
+        except BlockingIOError:
             # device queue full (O_NONBLOCK tap): drop, as a NIC
             # indicating into a saturated stack does — matching
             # SocketBridge semantics instead of killing the node's
             # poll loop (ADVICE r04)
             self.drops += 1
+        except OSError as e:
+            import errno
+            if e.errno in (errno.EAGAIN, errno.EWOULDBLOCK,
+                           errno.ENOBUFS):
+                self.drops += 1       # transient backpressure: drop
+            else:
+                raise                 # dead fd / bad frame: surface it
 
     def close(self) -> None:
         if self.fd >= 0:

@@ -82,7 +82,8 @@ class DeviceAir:
                  n_decode: int = 0, slots: int = 384,
                  noise_rms: float = 0.02, max_psdu: int = 1504,
                  hdr_bytes: int = 64, n_receivers: int = 1,
-                 min_rate_mbps: int = 6, pad_len: int = 0,
+                 min_rate_mbps: int = 6, min_mcs: int = 8,
+                 pad_len: int = 0,
                  n_entries: int = 0, phy: str = "a", seed: int = 0):
         assert overlap < window
         assert phy in ("a", "b", "n")
@@ -103,7 +104,8 @@ class DeviceAir:
         self.n_frames = n_frames
         self.n_decode = n_decode
         self.n_receivers = n_receivers
-        self.min_rate_mbps = min_rate_mbps
+        self.min_rate_mbps = min_rate_mbps    # 11a air floor (Mbps)
+        self.min_mcs = min_mcs                # HT air floor (MCS index)
         self._stage_fns: dict = {}
         A = self.n_ant
         waves = [np.atleast_2d(np.asarray(w, np.complex64))
@@ -234,7 +236,7 @@ class DeviceAir:
             elif self.phy == "n":
                 from sora_tpu.phy.dot11n import rx as nrx
                 out = nrx.rx_pipeline_auto(xw, max_psdu=self.max_psdu,
-                                           min_mcs=self.min_rate_mbps)
+                                           min_mcs=self.min_mcs)
             else:
                 out = arx.rx_pipeline_auto(
                     xw[:, 0], max_psdu=self.max_psdu,
@@ -307,11 +309,15 @@ class BatchMac:
     """
 
     BA_MAGIC = b"BA"
-    BA_BITS = 256                      # bitmap span past the ack point
 
     def __init__(self, addr: bytes, peer: bytes, *, n_seq: int,
                  payload: int = 1464, rate: int = 54,
-                 timeout_rounds: int = 2, window_frames: int = 64):
+                 timeout_rounds: int = 2, window_frames: int = 64,
+                 ba_bits: int = 256):
+        # bitmap span past the cumulative ack point: must cover the
+        # in-flight window (>= window_frames) or a single loss freezes
+        # the ack point and delivered-but-unackable frames retransmit
+        self.BA_BITS = int(ba_bits)
         self.addr, self.peer = addr, peer
         self.n_seq = n_seq
         self.payload = payload
@@ -322,6 +328,7 @@ class BatchMac:
         self.outstanding: dict[int, int] = {}   # seq -> round sent
         self.acked: set[int] = set()
         self.rx_seqs: set[int] = set()
+        self._ack_floor = 0        # cumulative ack point (amortized)
         self.new_rx: list[int] = []
         self.stats = BatchMacStats()
 
@@ -339,9 +346,10 @@ class BatchMac:
         """Cumulative ack point + bitmap (TCP-SACK-style BlockAck):
         every seq below `start` is acked, plus bitmap bit k for
         start+k.  Fits inside the hdr peek the air returns."""
-        start = 0
+        start = self._ack_floor
         while start in self.rx_seqs:
             start += 1
+        self._ack_floor = start
         bitmap = bytearray(self.BA_BITS // 8)
         for k in range(self.BA_BITS):
             if start + k in self.rx_seqs:

@@ -55,6 +55,7 @@ class ChannelModel:
     sfo_ppm: float = 0.0
     noise_rms: float = 0.0
     seed: int = 0
+    _rng: object = field(default=None, repr=False, compare=False)
 
     def apply(self, x: np.ndarray, rate_sps: float) -> np.ndarray:
         """x: (n,) or (A_tx, n) air -> (n',) or (A_rx, n') at the
@@ -79,12 +80,24 @@ class ChannelModel:
         if self.sfo_ppm:
             y = np.stack([_sfo_resample(r, self.sfo_ppm) for r in y])
         if self.noise_rms:
-            rng = np.random.default_rng(self.seed)
+            # ONE rng per model, advanced per call: repeated captures
+            # see independent noise, runs stay seed-reproducible
+            if self._rng is None:
+                object.__setattr__(self, "_rng",
+                                   np.random.default_rng(self.seed))
+            rng = self._rng
             y = y + (rng.normal(size=y.shape)
                      + 1j * rng.normal(size=y.shape)) * (
                          self.noise_rms / np.sqrt(2.0))
         y = y.astype(np.complex64)
         return y[0] if (siso and y.shape[0] == 1) else y
+
+
+# The canonical 4-tap in-CP reference channel used by the soaks, the
+# sensitivity sweep, and the impairment tests — ONE definition so
+# tuning it cannot desynchronize the measurements.
+REF_TAPS = [(0, 1.0), (3, 0.45 * np.exp(0.9j)),
+            (7, 0.2 * np.exp(-2.1j)), (11, 0.08 * np.exp(0.3j))]
 
 
 def _sfo_resample(w: np.ndarray, ppm: float, taps: int = 64) -> np.ndarray:

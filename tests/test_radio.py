@@ -171,3 +171,39 @@ def test_channel_model_mimo_mixing(rng):
     assert np.asarray(out["ok"])[0]
     n = int(np.asarray(out["length"])[0])
     assert bytes(np.asarray(out["psdu"])[0][:n]) == psdu
+
+
+def test_channel_noise_independent_across_captures():
+    """One installed ChannelModel advances its rng per capture: repeated
+    captures see independent noise (correlated noise would bias PER
+    measurements), while re-creating the model reproduces the run."""
+    from sora_tpu.runtime.radio import ChannelModel
+
+    tone = np.exp(2j * np.pi * 0.02 * np.arange(2048)).astype(np.complex64)
+    r = SoftRadio()
+    r.attach_air(tone)
+    r.set_channel(ChannelModel(noise_rms=0.1, seed=4))
+    c1, c2 = r.capture(), r.capture()
+    assert not np.array_equal(c1, c2)
+    r2 = SoftRadio()
+    r2.attach_air(tone)
+    r2.set_channel(ChannelModel(noise_rms=0.1, seed=4))
+    np.testing.assert_array_equal(r2.capture(), c1)   # reproducible
+
+
+def test_channel_mixed_scalar_and_matrix_taps(rng):
+    """A scalar first tap plus a matrix echo must size the output from
+    ALL taps (a_rx from the matrix), for 1-D and 2-D inputs alike."""
+    from sora_tpu.runtime.radio import ChannelModel
+
+    H = (rng.normal(size=(2, 2)) + 1j * rng.normal(size=(2, 2))
+         ).astype(np.complex64)
+    ch = ChannelModel(taps=[(0, 1.0), (3, H)])
+    x2 = (rng.normal(size=(2, 256)) + 1j * rng.normal(size=(2, 256))
+          ).astype(np.complex64)
+    y = ch.apply(x2, 20e6)
+    assert y.shape == (2, 256 + 3)
+    ref = np.zeros((2, 259), np.complex64)
+    ref[:, :256] += x2
+    ref[:, 3:] += (H @ x2).astype(np.complex64)
+    np.testing.assert_allclose(y, ref, rtol=2e-5, atol=2e-5)

@@ -46,9 +46,9 @@ SPS = 20e6
 
 # in-CP multipath taps for --channel mode: each transmission becomes
 # one descriptor per tap (delayed offset, complex gain) — propagation
-# synthesized ON DEVICE in the same scatter pass as the clean air
-CH_TAPS = [(0, 1.0), (3, 0.45 * np.exp(0.9j)),
-           (7, 0.2 * np.exp(-2.1j)), (11, 0.08 * np.exp(0.3j))]
+# synthesized ON DEVICE in the same scatter pass as the clean air.
+# ONE canonical definition, shared with the radio/sweep/soak tools.
+from sora_tpu.runtime.radio import REF_TAPS as CH_TAPS  # noqa: E402
 
 
 def make_rx_soak_air(seed: int = 7, channel: bool = False,
@@ -95,29 +95,27 @@ def make_rx_soak_air(seed: int = 7, channel: bool = False,
         # redundancy (window/hop) at 1.375.
         air = DeviceAir(waves, window=11264, batch=512, overlap=3072,
                         slots=512, noise_rms=0.01, max_psdu=1504,
-                        hdr_bytes=64, phy="n", min_rate_mbps=15,
+                        hdr_bytes=64, phy="n", min_mcs=15,
                         seed=seed)
         assert span <= air.overlap, (span, air.overlap)
         return air, psdus, span
     psdus = [fr.build_data_frame(
         bytes(rng.integers(0, 256, 1464, dtype=np.uint8)), seq=i)
         for i in range(64)]
-    if False:
-        pass
-    else:
-        waves = [g.modulate(p, 54).astype(np.complex64) for p in psdus]
-        span = max(len(w) for w in waves)
-        air = DeviceAir(waves, window=32768, batch=64, overlap=6144,
-                        n_frames=7, n_decode=0,
-                        slots=1408 if channel else 384, noise_rms=0.02,
-                        max_psdu=1504, hdr_bytes=64, min_rate_mbps=54,
-                        seed=seed)
+    waves = [g.modulate(p, 54).astype(np.complex64) for p in psdus]
+    span = max(len(w) for w in waves)
+    air = DeviceAir(waves, window=32768, batch=64, overlap=6144,
+                    n_frames=7, n_decode=0,
+                    slots=1408 if channel else 384, noise_rms=0.02,
+                    max_psdu=1504, hdr_bytes=64, min_rate_mbps=54,
+                    seed=seed)
     assert span + CH_TAPS[-1][0] <= air.overlap, (span, air.overlap)
     return air, psdus, span
 
 
 def run_rx_soak(seconds: float, depth: int, log,
-                channel: bool = False, phy: str = "a") -> dict:
+                channel: bool = False, phy: str = "a",
+                strict: bool = True) -> dict:
     assert not (channel and phy != "a"), "--channel is the 11a demo"
     air, psdus, span = make_rx_soak_air(channel=channel, phy=phy)
     sps = 11e6 if phy == "b" else SPS
@@ -204,7 +202,11 @@ def run_rx_soak(seconds: float, depth: int, log,
         f"{wall:.1f}s wall "
         f"-> ratio {ratio:.3f}; delivered {delivered}/{scheduled} "
         f"({ok_rows} ok candidate rows)")
-    assert delivered == scheduled, (delivered, scheduled)
+    if strict:
+        assert delivered == scheduled, (delivered, scheduled)
+    elif delivered != scheduled:
+        log(f"  WARNING: {scheduled - delivered} of {scheduled} frames "
+            "not position-matched")
     return {"mode": "rx", "channel": bool(channel), "phy": phy,
             "air_seconds": round(air_t, 2),
             "wall_seconds": round(wall, 2), "ratio": round(ratio, 4),
@@ -238,14 +240,17 @@ def run_convo(seconds: float, depth: int, log,
     payload = 1464
     E = 2048                        # rotating data cache entries
     ma = BatchMac(A, B, n_seq=1 << 30, payload=payload,
-                  timeout_rounds=2 * depth + 4, window_frames=E)
-    mb = BatchMac(B, A, n_seq=0, payload=payload)
+                  timeout_rounds=2 * depth + 4, window_frames=E,
+                  ba_bits=E)
+    mb = BatchMac(B, A, n_seq=0, payload=payload, ba_bits=E)
+    # hdr peek must cover the (E/8)-byte block-ack bitmap so one loss
+    # cannot freeze the ack point past the bitmap span
     air = DeviceAir([np.zeros(4992, np.complex64)], n_entries=E + 1,
                     window=32768, batch=64, overlap=6144, n_frames=7,
                     n_decode=0, slots=896 if channel else 384,
                     noise_rms=0.02, max_psdu=1504,
-                    hdr_bytes=64, min_rate_mbps=54, n_receivers=2,
-                    pad_len=4992, seed=11)
+                    hdr_bytes=24 + 6 + E // 8, min_rate_mbps=54,
+                    n_receivers=2, pad_len=4992, seed=11)
     span = 4880
     gap = 640
     period = span + gap

@@ -200,8 +200,7 @@ def sweep_11a_multipath(snrs, rates=(24, 54), n=16, payload=72,
     from sora_tpu.golden import dot11a_np as g
     from sora_tpu.phy.dot11a import rx as jrx
 
-    taps = [(0, 1.0), (3, 0.45 * np.exp(0.9j)),
-            (7, 0.2 * np.exp(-2.1j)), (11, 0.08 * np.exp(0.3j))]
+    from sora_tpu.runtime.radio import REF_TAPS as taps
     rows = {}
     for rate in rates:
         rng = np.random.default_rng(seed + rate)

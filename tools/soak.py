@@ -64,10 +64,10 @@ def main(argv=None) -> int:
         from sora_tpu.runtime.radio import ChannelModel, SoftRadio
         radio = SoftRadio()
         radio.attach_air(src, rate_sps=cfg.sample_rate_sps)
+        from sora_tpu.runtime.radio import REF_TAPS
         radio.set_channel(ChannelModel(
-            taps=[(0, 1.0), (3, 0.45 * np.exp(0.9j)),
-                  (7, 0.2 * np.exp(-2.1j)), (11, 0.08 * np.exp(0.3j))],
-            doppler_hz=55e3, sfo_ppm=20.0, noise_rms=0.01, seed=9))
+            taps=REF_TAPS, doppler_hz=55e3, sfo_ppm=20.0,
+            noise_rms=0.01, seed=9))
         src = radio.capture()
         print("channel: 4-tap multipath + 55 kHz doppler + 20 ppm sfo "
               "+ antenna noise", flush=True)
